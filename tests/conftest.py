@@ -1,0 +1,22 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Set before any jax import so that sharding tests exercise real multi-device
+paths without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The hosting environment's sitecustomize registers the TPU platform and
+# overwrites jax_platforms; force CPU after import, before backend init.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
