@@ -1,0 +1,73 @@
+"""Default experiment configuration.
+
+Hyperparameters mirror the reference's shipped config (config/mmgnet.json):
+LR 1e-4, cosine schedule, 100 epochs, batch 8, N_LAYERS 2, NUM_HEADS 8,
+DIM_ATTEN 256, 'fat' attention, dropout 0.5, DYNAMIC edge weighting,
+lambda_o 0.1, 128 points per instance, etc.  All machine-specific absolute
+paths from the reference (utils/define.py, config/mmgnet.json) are replaced
+by config-relative entries.
+"""
+
+DEFAULT_CONFIG = {
+    "NAME": "Mmgnet",
+    "_NAME": ["SGFN", "Mmgnet", "MmgnetSingle", "SGPN", "SGGpoint", "MMteacher"],
+    "PATH": "./output",
+    "SEED": 2020,
+    "MAX_EPOCHES": 100,
+    "LR": 1e-4,
+    "W_DECAY": 0.0,
+    "LR_SCHEDULE": "Cosine",
+    "_LR_SCHEDULE": ["Cosine", "BatchMultiplicative"],
+    "SAVE_INTERVAL": 2000,
+    "VALID_INTERVAL": 10,
+    "LOG_INTERVAL": 100,
+    "Batch_Size": 8,
+    "EVAL": False,
+    "VERBOSE": False,
+    "exp": "default",
+    "MODEL": {
+        "N_LAYERS": 2,
+        "USE_SPATIAL": True,
+        "WITH_BN": False,
+        "USE_RGB": False,
+        "USE_NORMAL": False,
+        "use_2d_feats": True,
+        "USE_GCN_EDGE": True,
+        "_GCN_TYPE": ["TRIP", "EAN"],
+        "GCN_TYPE": "EAN",
+        "_ATTENTION": ["fat"],
+        "ATTENTION": "fat",
+        "DROP_OUT_ATTEN": 0.5,
+        "multi_rel_outputs": True,
+        "point_feature_size": 768,
+        "clip_feat_dim": 512,
+        "lambda_o": 0.1,
+        "DIM_ATTEN": 256,
+        "_WEIGHT_EDGE": ["BG", "DYNAMIC", "OCCU", "NONE"],
+        "WEIGHT_EDGE": "DYNAMIC",
+        "_GCN_AGGR": ["add", "mean", "max"],
+        "GCN_AGGR": "max",
+        "w_bg": 1.0,
+        "NONE_RATIO": 1.0,
+        "NUM_HEADS": 8,
+        "use_descriptor": True,
+        "adapter_alpha": 0.5,
+        # CLIP assets: pre-computed text tables (see vlsat_tpu.clipsem)
+        "obj_text_table": None,
+        "rel_text_table": None,
+        "triplet_text_cache": None,
+        "adapter_weights": None,
+    },
+    "dataset": {
+        "root": "./assets/3dssg",
+        "scans_root": None,            # 3RScan directory with per-scan PLYs
+        "multi_view_root": None,       # per-instance CLIP feature .npy root
+        "cache_root": None,            # preprocessed tensor cache
+        "label_file": "labels.instances.align.annotated.v2.ply",
+        "num_points": 128,
+        "num_points_union": 256,
+        "use_data_augmentation": False,
+        "node_buckets": [4, 8, 12, 16, 24, 32, 48, 64],
+        "with_union_points": False,    # only the SGPN-style configs need them
+    },
+}

@@ -1,0 +1,287 @@
+"""Vectorized evaluation metrics with exact reference semantics.
+
+The reference computes ranks with per-edge Python sort loops
+(src/utils/eva_utils_acc.py) — for the triplet metric that means sorting a
+160*160*26 confidence cube per edge on the host.  All three metrics reduce
+to *counting*, which vectorizes:
+
+  * object rank (eva_utils_acc.py:27-39): walking the descending sort until
+    ``pred[gt] >= pred[idx]`` is ``#{c : pred_c > pred_gt} + 1`` capped at
+    topk+1 (ties with the GT count as hits);
+  * predicate rank (":42-79"): same count per GT class; edges with *no* GT
+    relation get ``#{c : pred_c >= 0.5} + 1`` (UNcapped by topk unless every
+    class clears the threshold — a reference quirk we reproduce);
+  * triplet rank (":137-213"): the first position of gt_conf in the sorted
+    top-`topk` cube is ``#{(i,j,k) : s_i*o_j*r_k > gt_conf} + 1`` when that
+    count < topk, else topk+1.  The cube never needs materializing: with
+    ``ns = sort(outer(s, o))`` the count is ``sum_k (M - searchsorted(ns,
+    t / r_k, 'right'))`` — O(M log M) per edge instead of O(M*R log(M*R)).
+    The float division can flip exact ties by one ulp; the systematic case
+    (the GT cell comparing against itself) is corrected explicitly, other
+    cross-cell f32 product ties are vanishingly rare.
+
+Multi-GT rank discounting (``tmp - counter`` after sorting, ":206-211") and
+cls_matrix assembly happen on the host over tiny arrays.
+
+All device math is forced to float32: rank counts are tie-sensitive.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# device-side rank counts
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("topk",))
+def object_ranks(obj_logits: jnp.ndarray, gt_class: jnp.ndarray, topk: int = 11) -> jnp.ndarray:
+    """(..., C) logits + (...) labels -> (...) int32 ranks in [1, topk+1]."""
+    logits = obj_logits.astype(jnp.float32)
+    gt_score = jnp.take_along_axis(logits, gt_class[..., None], axis=-1)
+    greater = (logits > gt_score).sum(axis=-1)
+    return jnp.minimum(greater + 1, topk + 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("topk", "threshold"))
+def predicate_rank_parts(
+    rel_probs: jnp.ndarray, topk: int = 6, threshold: float = 0.5
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-class ranks (..., R) and the no-GT threshold rank (...)."""
+    p = rel_probs.astype(jnp.float32)
+    greater = (p[..., None, :] > p[..., :, None]).sum(axis=-1)  # (..., R)
+    class_ranks = jnp.minimum(greater + 1, topk + 1).astype(jnp.int32)
+    above = (p >= threshold).sum(axis=-1)
+    no_gt_rank = jnp.where(above < p.shape[-1], above + 1, topk + 1).astype(jnp.int32)
+    return class_ranks, no_gt_rank
+
+
+@partial(jax.jit, static_argnames=("topk", "threshold", "chunk"))
+def triplet_rank_parts(
+    obj_logits: jnp.ndarray,     # (N, C) — one scene
+    gt_class: jnp.ndarray,       # (N,)
+    rel_probs: jnp.ndarray,      # (E, R)
+    edge_index: jnp.ndarray,     # (E, 2)
+    topk: int = 101,
+    threshold: float = 0.5,
+    chunk: int = 512,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Triplet ranks for every candidate predicate of every edge.
+
+    Returns (class_ranks (E, R), no_gt_ranks (E,)); the caller selects the
+    GT predicates.  Object scores are softmax(logits) — the reference's
+    use_clip=True path (eva_utils_acc.py:143-144).  Edges are processed in
+    fixed-size chunks via lax.map: the per-edge (C*C) node-score rows would
+    otherwise cost E*C^2 floats (~400 MB at the largest bucket).
+    """
+    probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
+    r_all = rel_probs.astype(jnp.float32)
+    e_cnt, nrel = r_all.shape
+    n_chunks = -(-e_cnt // chunk)
+    pad = n_chunks * chunk - e_cnt
+    ei_p = jnp.pad(edge_index, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
+    r_p = jnp.pad(r_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, nrel)
+
+    def body(inputs):
+        ei, r = inputs                                   # (chunk, 2), (chunk, R)
+        sub = probs[ei[:, 0]]                            # (chunk, C)
+        obj = probs[ei[:, 1]]
+        ns = (sub[:, :, None] * obj[:, None, :]).reshape(chunk, -1)
+        ns_sorted = jnp.sort(ns, axis=-1)
+        m = ns.shape[-1]
+
+        # GT-cell node score: same float product as the matching ns entry
+        sub_cls = gt_class[ei[:, 0]]
+        obj_cls = gt_class[ei[:, 1]]
+        s_gt = jnp.take_along_axis(sub, sub_cls[:, None], axis=-1)[:, 0]
+        o_gt = jnp.take_along_axis(obj, obj_cls[:, None], axis=-1)[:, 0]
+        ns_gt = s_gt * o_gt
+        t_class = ns_gt[:, None] * r                     # (chunk, R) gt confs
+        thresholds = jnp.concatenate(
+            [t_class, jnp.full((chunk, 1), threshold, jnp.float32)], axis=-1
+        )
+        r_safe = jnp.maximum(r, 1e-38)
+        ratio = thresholds[:, :, None] / r_safe[:, None, :]  # (chunk, R+1, R)
+        pos = jax.vmap(
+            lambda row, x: jnp.searchsorted(row, x.reshape(-1), side="right")
+        )(ns_sorted, ratio).reshape(ratio.shape)
+        counts = (m - pos).sum(axis=-1)                  # (chunk, R+1)
+
+        # ulp correction: the GT cell must not count as greater than its
+        # own confidence (division may round t/r_k below ns_gt).
+        div_gt = ns_gt[:, None] > t_class / r_safe
+        class_counts = counts[:, :-1] - div_gt.astype(counts.dtype)
+        c05 = counts[:, -1]
+        class_ranks = jnp.where(class_counts < topk, class_counts + 1, topk + 1)
+        no_gt_ranks = jnp.where(c05 < topk, c05 + 1, topk + 1)
+        return class_ranks.astype(jnp.int32), no_gt_ranks.astype(jnp.int32)
+
+    cr, ng = jax.lax.map(body, (ei_p, r_p))
+    return cr.reshape(-1, nrel)[:e_cnt], ng.reshape(-1)[:e_cnt]
+
+
+# --------------------------------------------------------------------------
+# host-side assembly (tiny arrays)
+# --------------------------------------------------------------------------
+
+def _discount(ranks: Sequence[int]) -> List[int]:
+    """sorted ranks r_0 <= r_1 <= ... -> [r_i - i] (eva_utils_acc.py:73-77)."""
+    return [t - c for c, t in enumerate(sorted(ranks))]
+
+
+def assemble_predicate_topk(
+    class_ranks: np.ndarray, no_gt_ranks: np.ndarray, gt_rels: np.ndarray
+) -> np.ndarray:
+    """Per-edge rank list with multi-GT discounting.
+
+    class_ranks (E, R), no_gt_ranks (E,), gt_rels (E, R) in {0,1} — valid
+    edges only.  Returns the flat rank array the reference accumulates.
+    """
+    res: List[int] = []
+    for e in range(gt_rels.shape[0]):
+        gts = np.nonzero(gt_rels[e])[0]
+        if len(gts) == 0:
+            res.extend(_discount([int(no_gt_ranks[e])]))
+        else:
+            res.extend(_discount([int(class_ranks[e, g]) for g in gts]))
+    return np.asarray(res)
+
+
+def assemble_triplet_topk(
+    class_ranks: np.ndarray,      # (E, R)
+    no_gt_ranks: np.ndarray,      # (E,)
+    gt_rels: np.ndarray,          # (E, R)
+    sub_cls: np.ndarray,          # (E,) gt subject class
+    obj_cls: np.ndarray,          # (E,)
+    obj_rank_sub: np.ndarray,     # (E,) object-metric rank of the subject node
+    obj_rank_obj: np.ndarray,     # (E,)
+    sub_scores: Optional[np.ndarray] = None,   # (E, C) softmax scores
+    obj_scores: Optional[np.ndarray] = None,
+    rel_scores: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    """Triplet ranks + cls_matrix (+score lists), reference layout:
+    cls_matrix rows are [sub_gt, sub_rank, obj_gt, obj_rank, predicate]
+    with predicate=-1 for no-GT edges (eva_utils_acc.py:183-199)."""
+    res: List[int] = []
+    cls_rows: List[List[int]] = []
+    s_list, o_list, r_list = [], [], []
+    for e in range(gt_rels.shape[0]):
+        gts = np.nonzero(gt_rels[e])[0]
+        if len(gts) == 0:
+            res.extend(_discount([int(no_gt_ranks[e])]))
+            cls_rows.append([int(sub_cls[e]), int(obj_rank_sub[e]),
+                             int(obj_cls[e]), int(obj_rank_obj[e]), -1])
+        else:
+            res.extend(_discount([int(class_ranks[e, g]) for g in gts]))
+            for g in gts:
+                cls_rows.append([int(sub_cls[e]), int(obj_rank_sub[e]),
+                                 int(obj_cls[e]), int(obj_rank_obj[e]), int(g)])
+                if sub_scores is not None:
+                    s_list.append(sub_scores[e])
+                    o_list.append(obj_scores[e])
+                    r_list.append(rel_scores[e])
+    out = {
+        "topk": np.asarray(res),
+        "cls_matrix": np.asarray(cls_rows, dtype=np.int64),
+    }
+    if sub_scores is not None:
+        out["sub_scores"] = np.asarray(s_list)
+        out["obj_scores"] = np.asarray(o_list)
+        out["rel_scores"] = np.asarray(r_list)
+    return out
+
+
+# --------------------------------------------------------------------------
+# aggregate metrics
+# --------------------------------------------------------------------------
+
+def topk_accuracy(ranks: np.ndarray, k: int) -> float:
+    if len(ranks) == 0:
+        return 0.0
+    return float((ranks <= k).sum() * 100.0 / len(ranks))
+
+
+def get_mean_recall(
+    triplet_rank: np.ndarray, cls_matrix: np.ndarray,
+    topk: Sequence[int] = (50, 100), num_rel_classes: int = 26,
+) -> np.ndarray:
+    """Mean over predicate classes of triplet recall@k
+    (eva_utils_acc.py:224-237)."""
+    if len(cls_matrix) == 0:
+        return np.zeros(len(topk))
+    per_k = [[] for _ in topk]
+    for c in range(num_rel_classes):
+        cls_rank = triplet_rank[cls_matrix[:, -1] == c]
+        if len(cls_rank) == 0:
+            continue
+        for i, k in enumerate(topk):
+            per_k[i].append((cls_rank <= k).sum() * 100.0 / len(cls_rank))
+    return np.asarray(per_k, dtype=np.float32).mean(axis=1)
+
+
+def compute_mean_predicate(
+    cls_matrix: np.ndarray, topk_pred: np.ndarray,
+    ks: Sequence[int] = (1, 3, 5), num_rel_classes: int = 26,
+) -> List[float]:
+    """Per-predicate-class mean Acc@k (src/model/model.py:364-388).
+
+    Relies on the reference invariant that the predicate rank list and the
+    cls_matrix rows are index-aligned (one entry per GT predicate or per
+    no-GT edge).
+    """
+    buckets: Dict[int, List[int]] = {i: [] for i in range(num_rel_classes)}
+    for i, row in enumerate(cls_matrix):
+        if row[-1] != -1:
+            buckets[int(row[-1])].append(topk_pred[i])
+    means = []
+    for k in ks:
+        vals = [
+            (np.asarray(v) <= k).mean() for v in buckets.values() if len(v) > 0
+        ]
+        means.append(float(np.mean(vals) * 100.0) if vals else 0.0)
+    return means
+
+
+def get_zero_shot_recall(
+    triplet_rank: np.ndarray,
+    cls_matrix: np.ndarray,
+    train_triplets: set,
+    val_is_relevant: Optional[np.ndarray] = None,
+) -> Dict[str, float]:
+    """Zero-shot / non-zero-shot / all triplet recall@50/@100.
+
+    ``train_triplets`` is the set of "<sub_cls> <obj_cls> <rel>" keys seen
+    in training (built by vlsat_tpu.data.assets.build_triplet_vocab — the
+    reference hard-codes an absolute path here, eva_utils_acc.py:249-261).
+    """
+    zero, non_zero, all_r = [], [], []
+    for i, row in enumerate(cls_matrix):
+        if row[-1] == -1:
+            continue
+        key = f"{row[0]} {row[2]} {row[-1]}" if len(row) == 5 else f"{row[0]} {row[1]} {row[-1]}"
+        if key not in train_triplets:
+            zero.append(triplet_rank[i])
+        else:
+            non_zero.append(triplet_rank[i])
+        all_r.append(triplet_rank[i])
+
+    def rec(a):
+        a = np.asarray(a)
+        if len(a) == 0:
+            return (float("nan"), float("nan"))
+        return (float((a <= 50).mean() * 100), float((a <= 100).mean() * 100))
+
+    z50, z100 = rec(zero)
+    n50, n100 = rec(non_zero)
+    a50, a100 = rec(all_r)
+    return {
+        "zero_shot_50": z50, "zero_shot_100": z100,
+        "non_zero_shot_50": n50, "non_zero_shot_100": n100,
+        "all_50": a50, "all_100": a100,
+    }

@@ -1,0 +1,65 @@
+"""Post-norm multi-head attention block.
+
+Counterpart of the reference's ``ScaledDotProductAttention`` +
+``MultiHeadAttention`` (src/model/transformer/attention.py) with the
+same residual / dropout / post-LayerNorm ordering, built on the
+mask-safe attention core in :mod:`vlsat_tpu.ops.attention`.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vlsat_tpu.ops.attention import masked_attention
+
+
+class MultiHeadAttention(nn.Module):
+    """out = LayerNorm(q + Dropout(fc_o(attention(q, k, v)))).
+
+    mask: (B, 1|H, Nq, Nk) bool, True = attend.
+    bias: optional additive (way='add') or multiplicative (way='mul')
+    attention weights, broadcastable to (B, H, Nq, Nk) — the reference's
+    ``attention_weights`` path used for the distance bias.
+    """
+
+    num_heads: int
+    d_model: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, k, v, *, mask=None, bias=None, bias_way="add",
+                 deterministic: bool = True):
+        h = self.num_heads
+        dk = self.d_model // h
+
+        def split(x, name):
+            y = nn.Dense(h * dk, name=name)(x)  # (B, N, H*dk)
+            return y.reshape(*y.shape[:-1], h, dk).transpose(0, 2, 1, 3)
+
+        qh = split(q, "fc_q")
+        kh = split(k, "fc_k")
+        vh = split(v, "fc_v")
+        out = masked_attention(qh, kh, vh, mask=mask, bias=bias, bias_way=bias_way)
+        out = out.transpose(0, 2, 1, 3).reshape(*q.shape[:-1], h * dk)
+        out = nn.Dense(self.d_model, name="fc_o")(out)
+        out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return nn.LayerNorm(name="layer_norm")(q + out)
+
+
+class DistanceBiasMLP(nn.Module):
+    """[Δxyz, dist] -> per-head additive attention bias.
+
+    Reference ``self_attn_fc`` (network_MMG.py:165-173): Linear(4, 32),
+    ReLU, LayerNorm, Linear(32, 32), ReLU, LayerNorm, Linear(32, heads).
+    Input (B, N, N, 4) -> output (B, H, N, N).
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, w):
+        w = nn.LayerNorm(name="ln0")(nn.relu(nn.Dense(32, name="fc0")(w)))
+        w = nn.LayerNorm(name="ln1")(nn.relu(nn.Dense(32, name="fc1")(w)))
+        w = nn.Dense(self.num_heads, name="fc2")(w)
+        return jnp.moveaxis(w, -1, 1)  # (B, H, N, N)

@@ -1,0 +1,36 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed support at all (SURVEY.md §2.9: no DDP /
+NCCL / MPI anywhere; its only parallelism is DataLoader workers).  The
+TPU-native equivalent at this model scale (~20M params) is pure data
+parallelism over ICI: scenes shard across the 'data' mesh axis, parameters
+replicate, and jit inserts psums for the gradient reduction.
+
+The model's batch is a SceneBatch pytree whose every leaf has the scene
+axis leading, so one PartitionSpec covers it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data") -> Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a SceneBatch (or any pytree with leading scene axis) onto the
+    mesh, sharded over its first axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,144 @@
+"""Training losses for the VL-SAT objective.
+
+Faithful, mask-aware re-implementations of the reference's
+``process_train`` loss stack (src/model/SGFN_MMG/model.py:337-418):
+
+  total = lambda_o * (CE_obj_2d + CE_obj_3d)
+        + 3 * lambda_r * (BCE_rel_2d + BCE_rel_3d)   [DYNAMIC class weights]
+        + 0.1 * (mimic + rel_mimic_2d)
+
+All reductions are means over *valid* nodes/edges (the reference has no
+padding, so plain means coincide).  The DYNAMIC per-batch class weights
+depend on global-batch label statistics (model.py:353-366) — under data
+parallelism they must be computed from the full batch before sharding, or
+with a psum; `dynamic_rel_weights` takes the already-reduced counts so both
+schemes work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from vlsat_tpu.ops.norm import safe_normalize
+from vlsat_tpu.scene import SceneBatch
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    denom = jnp.maximum((m * jnp.ones_like(x)).sum(), 1.0)
+    return (x * m).sum() / denom
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    logp = logits - jax_logsumexp(logits)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return masked_mean(nll, mask)
+
+
+def jax_logsumexp(x: jnp.ndarray) -> jnp.ndarray:
+    m = x.max(axis=-1, keepdims=True)
+    return m + jnp.log(jnp.exp(x - m).sum(axis=-1, keepdims=True))
+
+
+def dynamic_rel_weights(
+    gt_rels: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    ignore_none_rel: bool = False,
+    none_ratio: Optional[float] = 1.0,
+) -> jnp.ndarray:
+    """Per-class BCE weights from batch label statistics (WEIGHT_EDGE=DYNAMIC).
+
+    Mirrors model.py:353-366: counts per predicate class over the batch,
+    plus a leading "none" slot counting edges with no GT relation; weight =
+    1 / (log(count + 1) + 1); the none slot is dropped after the zero-fill
+    trick.
+    """
+    m = edge_mask.astype(gt_rels.dtype)
+    batch_mean = (gt_rels * m[..., None]).sum(axis=tuple(range(gt_rels.ndim - 1)))
+    zeros = ((gt_rels.sum(-1) == 0) * m).sum()[None]
+    counts = jnp.concatenate([zeros, batch_mean], axis=0)
+    weight = jnp.abs(1.0 / (jnp.log(counts + 1.0) + 1.0))
+    if ignore_none_rel:
+        weight = weight.at[0].set(0.0) * 1e-2
+    if none_ratio is not None and none_ratio != 1.0:
+        weight = weight.at[0].mul(none_ratio)
+    fill = weight[0] if not ignore_none_rel else 0.0
+    weight = jnp.where(weight == 0, fill, weight)
+    return weight[1:]
+
+
+def weighted_bce(
+    probs: jnp.ndarray, targets: jnp.ndarray, weight: Optional[jnp.ndarray],
+    edge_mask: jnp.ndarray, eps: float = 1e-7,
+) -> jnp.ndarray:
+    """torch F.binary_cross_entropy(pred, gt, weight) over valid edges."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    ll = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log(1.0 - p))
+    if weight is not None:
+        ll = ll * weight
+    return masked_mean(ll, edge_mask)
+
+
+def cosine_mimic_loss(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray,
+                      t: float = 0.8) -> jnp.ndarray:
+    """clamp(t - cos(a, b), min=0).mean() (model.py:257-258, 408-410)."""
+    an = safe_normalize(a)
+    bn = safe_normalize(b)
+    cos = (an * bn).sum(-1)
+    return masked_mean(jnp.maximum(t - cos, 0.0), mask)
+
+
+def rel_mimic_l1(edge_feature_2d: jnp.ndarray, rel_text_feat: jnp.ndarray,
+                 edge_mask: jnp.ndarray) -> jnp.ndarray:
+    """L1 between normalized projected 2D pair features and CLIP text
+    targets (model.py:412-416)."""
+    e = safe_normalize(edge_feature_2d)
+    return masked_mean(jnp.abs(e - rel_text_feat), edge_mask)
+
+
+def vlsat_total_loss(
+    outputs: Dict[str, jnp.ndarray],
+    batch: SceneBatch,
+    lambda_o: float = 0.1,
+    ignore_none_rel: bool = False,
+    none_ratio: float = 1.0,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    lambda_r = 1.0
+    lam_max = max(lambda_r, lambda_o)
+    lambda_r, lambda_o = lambda_r / lam_max, lambda_o / lam_max
+
+    loss_obj_3d = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
+    loss_obj_2d = cross_entropy(outputs["obj_logits_2d"], batch.gt_class, batch.obj_mask)
+
+    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
+                            ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
+    loss_rel_3d = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    loss_rel_2d = weighted_bce(outputs["rel_cls_2d"], batch.gt_rels, w, batch.edge_mask)
+
+    loss_mimic = cosine_mimic_loss(
+        outputs["obj_feature_3d_mimic"], outputs["obj_features_2d_mimic"],
+        batch.obj_mask,
+    )
+    if batch.rel_text_feat is not None:
+        loss_rel_mimic = rel_mimic_l1(
+            outputs["edge_feature_2d_dis"], batch.rel_text_feat, batch.edge_mask
+        )
+    else:
+        loss_rel_mimic = jnp.asarray(0.0)
+
+    total = (
+        lambda_o * (loss_obj_2d + loss_obj_3d)
+        + 3.0 * lambda_r * (loss_rel_2d + loss_rel_3d)
+        + 0.1 * (loss_mimic + loss_rel_mimic)
+    )
+    aux = dict(
+        loss=total,
+        obj_loss=loss_obj_3d, obj_loss_2d=loss_obj_2d,
+        rel_loss=loss_rel_3d, rel_loss_2d=loss_rel_2d,
+        mimic_loss=loss_mimic, rel_mimic_loss_2d=loss_rel_mimic,
+    )
+    return total, aux

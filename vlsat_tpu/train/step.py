@@ -1,0 +1,68 @@
+"""Jitted train / eval steps.
+
+The whole reference per-batch pipeline (forward + losses + backward +
+optimizer + scheduler, SGFN_MMG/model.py:337-419,483-488) compiles into one
+XLA program.  Data parallelism: shard the batch's scene axis over a
+``Mesh('data')`` (vlsat_tpu.parallel.mesh) and jit does the rest — gradients
+are averaged by XLA-inserted psums over ICI, replicated params stay in HBM.
+
+Note the DYNAMIC BCE class weights depend on *global*-batch label counts;
+inside jit the counts are computed over the full (sharded) batch, so the
+reduction is global automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vlsat_tpu.models.mmgnet import MMGNet
+from vlsat_tpu.scene import SceneBatch
+from vlsat_tpu.train.losses import vlsat_total_loss
+from vlsat_tpu.train.state import TrainState
+
+
+def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
+                    lambda_o: float = 0.1, donate: bool = True):
+    def loss_fn(params, batch_stats, batch, rng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch,
+            istrain=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        loss, aux = vlsat_total_loss(outputs, batch, lambda_o=lambda_o)
+        aux["logit_scale"] = outputs["logit_scale"]
+        return loss, (aux, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch: SceneBatch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, aux
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: MMGNet):
+    @jax.jit
+    def eval_step(params, batch_stats, batch: SceneBatch) -> Dict[str, jnp.ndarray]:
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch, istrain=False
+        )
+
+    return eval_step
