@@ -1,0 +1,77 @@
+"""Scene-level R@K parity vs a slow cube-materializing oracle."""
+
+import numpy as np
+
+from vlsat_tpu.eval.recall import scene_recall_topk
+from vlsat_tpu.scene import full_edge_index
+
+
+def softmax(x):
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def slow_scene_recall(obj_logits, rel_probs, gt_rels, gt_class, ei, topk_list, topk_each):
+    probs = softmax(obj_logits.astype(np.float32))
+    c = probs.shape[-1]
+    nrel = rel_probs.shape[-1]
+    confs, ids, eids = [], [], []
+    for e in range(len(ei)):
+        cube = np.einsum("n,m->nm", probs[ei[e, 0]], probs[ei[e, 1]])
+        cube = np.einsum("nl,m->nlm", cube, rel_probs[e]).reshape(-1)
+        top = np.argsort(-cube, kind="stable")[:topk_each]
+        confs.append(cube[top])
+        ids.append(top)
+        eids.append(np.full(len(top), e))
+    conf = np.concatenate(confs)
+    idx = np.concatenate(ids)
+    eid = np.concatenate(eids)
+    order = np.argsort(-conf, kind="stable")[: max(topk_list)]
+    correct = [0] * len(topk_list)
+    done = [set() for _ in topk_list]
+    sub_cls = gt_class[ei[:, 0]]
+    obj_cls = gt_class[ei[:, 1]]
+    for rank, o in enumerate(order):
+        e = eid[o]
+        i, j, r = np.unravel_index(idx[o], (c, c, nrel))
+        if sub_cls[e] == i and obj_cls[e] == j and gt_rels[e, r] > 0:
+            for t, k in enumerate(topk_list):
+                if rank < k and e not in done[t]:
+                    correct[t] += 1
+                    done[t].add(e)
+    total = max(float((gt_rels.sum(-1) > 0).sum()), 1.0)
+    return np.asarray(correct) / total
+
+
+def test_scene_recall_matches_oracle():
+    rng = np.random.RandomState(3)
+    n, c, nrel = 6, 10, 5
+    logits = rng.randn(n, c).astype(np.float32) * 2
+    gt_class = rng.randint(0, c, n)
+    ei = full_edge_index(n)
+    rel_probs = rng.rand(len(ei), nrel).astype(np.float32)
+    gt_rels = (rng.rand(len(ei), nrel) < 0.25).astype(np.float32)
+    topk = (5, 20, 50)
+    got = scene_recall_topk(logits, rel_probs, gt_rels, gt_class, ei,
+                            topk=topk, topk_each=30, num_rel_classes=nrel)
+    want = slow_scene_recall(logits, rel_probs, gt_rels, gt_class, ei,
+                             list(topk), 30)
+    np.testing.assert_allclose(got, want)
+
+
+def test_scene_recall_per_class_shape():
+    rng = np.random.RandomState(4)
+    n, c, nrel = 5, 8, 4
+    logits = rng.randn(n, c).astype(np.float32)
+    gt_class = rng.randint(0, c, n)
+    ei = full_edge_index(n)
+    rel_probs = rng.rand(len(ei), nrel).astype(np.float32)
+    gt_rels = (rng.rand(len(ei), nrel) < 0.3).astype(np.float32)
+    out = scene_recall_topk(logits, rel_probs, gt_rels, gt_class, ei,
+                            topk=(10, 20), topk_each=20, num_rel_classes=nrel,
+                            per_class=True)
+    assert out.shape == (nrel, 2)
+    # classes with no GT are -1
+    for r in range(nrel):
+        if (gt_rels[:, r] > 0).sum() == 0:
+            assert (out[r] == -1).all()

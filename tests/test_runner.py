@@ -1,0 +1,65 @@
+"""Runner/CLI end-to-end on the mini dataset: train -> ckpt -> eval."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.mini_data import make_mini_dataset
+
+
+@pytest.fixture()
+def runner_cfg(tmp_path):
+    root, scans = make_mini_dataset(tmp_path)
+    from vlsat_tpu.config import load_config
+
+    cfg = load_config(overrides={
+        "PATH": str(tmp_path / "out"),
+        "MAX_EPOCHES": 2,
+        "Batch_Size": 2,
+        "VALID_INTERVAL": 2,
+        "LOG_INTERVAL": 1,
+        "MODE": "train",
+        "dataset": {"root": root, "scans_root": scans,
+                    "cache_root": str(tmp_path / "cache"),
+                    "num_points": 16},
+    })
+    return cfg
+
+
+def test_runner_train_validate_checkpoint(runner_cfg, tmp_path):
+    from vlsat_tpu.train.runner import Runner
+
+    r = Runner(runner_cfg)
+    r.train()
+    assert int(r.state.step) >= 2
+    metrics = r.validation(save=True)
+    for key in ("obj_acc_1", "rel_acc_1", "triplet_acc_50", "mean_recall_50",
+                "rel_acc_mean_1", "zero_shot_50"):
+        assert key in metrics, key
+        assert np.isfinite(metrics[key]) or key.startswith("zero"), (key, metrics[key])
+    res_dir = os.path.join(runner_cfg.PATH, "results", "Mmgnet", "default")
+    assert os.path.exists(os.path.join(res_dir, "result.txt"))
+    assert os.path.exists(os.path.join(res_dir, "cls_matrix_list.npy"))
+
+    # checkpoint resume restores step
+    r2 = Runner(runner_cfg)
+    assert r2.load(best=False)
+    assert int(r2.state.step) == int(r.state.step)
+
+    # best checkpoint also resolvable
+    r3 = Runner(runner_cfg)
+    assert r3.load(best=True)
+
+
+def test_config_enum_validation():
+    from vlsat_tpu.config import Config
+
+    with pytest.raises(ValueError):
+        Config({"_X": ["a", "b"], "X": "c"})
+    c = Config({"_X": ["a", "b"], "X": "a", "nested": {"y": 1}})
+    assert c.X == "a"
+    assert c.nested.y == 1
+    with pytest.raises(AttributeError):
+        _ = c.missing_key

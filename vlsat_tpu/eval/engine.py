@@ -1,0 +1,164 @@
+"""Validation engine: full metric suite over a scene loader.
+
+Counterpart of ``MMGNet.validation`` (src/model/model.py:181-362): per
+scene, compute 3D and 2D object / predicate / triplet ranks, accumulate,
+then report Acc@k, per-class mean predicate accuracy, mean recall and
+zero-shot recall, optionally dumping the reference's eval artifacts
+(topk lists, cls_matrix, score arrays, result.txt).
+
+Device work per scene is three count kernels (vlsat_tpu.eval.metrics);
+host work is tiny list assembly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from vlsat_tpu.eval.metrics import (
+    assemble_predicate_topk,
+    assemble_triplet_topk,
+    compute_mean_predicate,
+    get_mean_recall,
+    get_zero_shot_recall,
+    object_ranks,
+    predicate_rank_parts,
+    topk_accuracy,
+    triplet_rank_parts,
+)
+from vlsat_tpu.scene import SceneBatch
+from vlsat_tpu.utils.progbar import Progbar
+
+
+def evaluate(
+    eval_step,
+    params,
+    batch_stats,
+    loader: Iterable[SceneBatch],
+    num_rel_classes: int = 26,
+    train_triplet_vocab: Optional[set] = None,
+    save_dir: Optional[str] = None,
+    with_scores: bool = False,
+    verbose: bool = True,
+    total: Optional[int] = None,
+) -> Dict[str, float]:
+    acc = {
+        k: [] for k in (
+            "topk_obj", "topk_obj_2d", "topk_rel", "topk_rel_2d",
+            "topk_triplet", "topk_triplet_2d",
+        )
+    }
+    cls_rows, sub_scores, obj_scores, rel_scores = [], [], [], []
+    progbar = Progbar(total, width=20) if verbose else None
+    seen = 0
+
+    for batch in loader:
+        out = eval_step(params, batch_stats, batch)
+        obr3 = np.asarray(object_ranks(out["obj_logits_3d"], batch.gt_class, topk=11))
+        obr2 = np.asarray(object_ranks(out["obj_logits_2d"], batch.gt_class, topk=11))
+        pr3, png3 = predicate_rank_parts(out["rel_cls_3d"], topk=6)
+        pr2, png2 = predicate_rank_parts(out["rel_cls_2d"], topk=6)
+        pr3, png3, pr2, png2 = map(np.asarray, (pr3, png3, pr2, png2))
+        obj_mask = np.asarray(batch.obj_mask)
+        edge_mask = np.asarray(batch.edge_mask)
+        gt_rels = np.asarray(batch.gt_rels)
+        gt_class = np.asarray(batch.gt_class)
+        edge_index = np.asarray(batch.edge_index)
+
+        for s in range(batch.num_scenes):
+            nv = int(obj_mask[s].sum())
+            ev = int(edge_mask[s].sum())
+            if nv == 0:
+                continue
+            acc["topk_obj"].extend(obr3[s, :nv])
+            acc["topk_obj_2d"].extend(obr2[s, :nv])
+            acc["topk_rel"].extend(
+                assemble_predicate_topk(pr3[s, :ev], png3[s, :ev], gt_rels[s, :ev]))
+            acc["topk_rel_2d"].extend(
+                assemble_predicate_topk(pr2[s, :ev], png2[s, :ev], gt_rels[s, :ev]))
+
+            if ev:
+                tr3, tng3 = triplet_rank_parts(
+                    out["obj_logits_3d"][s, :nv], batch.gt_class[s, :nv],
+                    out["rel_cls_3d"][s, :ev], batch.edge_index[s, :ev], topk=101)
+                tr2, tng2 = triplet_rank_parts(
+                    out["obj_logits_2d"][s, :nv], batch.gt_class[s, :nv],
+                    out["rel_cls_2d"][s, :ev], batch.edge_index[s, :ev], topk=101)
+                ei = edge_index[s, :ev]
+                sub_cls = gt_class[s][ei[:, 0]]
+                obj_cls = gt_class[s][ei[:, 1]]
+                scores = {}
+                if with_scores:
+                    probs3 = np.asarray(jax.nn.softmax(
+                        out["obj_logits_3d"][s, :nv].astype(np.float32), axis=-1))
+                    scores = dict(
+                        sub_scores=probs3[ei[:, 0]],
+                        obj_scores=probs3[ei[:, 1]],
+                        rel_scores=np.asarray(out["rel_cls_3d"][s, :ev]),
+                    )
+                t3 = assemble_triplet_topk(
+                    np.asarray(tr3), np.asarray(tng3), gt_rels[s, :ev],
+                    sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]], **scores)
+                t2 = assemble_triplet_topk(
+                    np.asarray(tr2), np.asarray(tng2), gt_rels[s, :ev],
+                    sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]])
+                acc["topk_triplet"].extend(t3["topk"])
+                acc["topk_triplet_2d"].extend(t2["topk"])
+                cls_rows.append(t3["cls_matrix"])
+                if with_scores:
+                    sub_scores.append(t3["sub_scores"])
+                    obj_scores.append(t3["obj_scores"])
+                    rel_scores.append(t3["rel_scores"])
+            seen += 1
+            if progbar is not None:
+                progbar.update(seen, [
+                    ("Acc@1/obj", topk_accuracy(np.asarray(acc["topk_obj"]), 1)),
+                    ("Acc@1/rel", topk_accuracy(np.asarray(acc["topk_rel"]), 1)),
+                    ("Acc@50/trip", topk_accuracy(np.asarray(acc["topk_triplet"]), 50)),
+                ])
+
+    arr = {k: np.asarray(v) for k, v in acc.items()}
+    cls_matrix = np.concatenate(cls_rows) if cls_rows else np.zeros((0, 5), np.int64)
+
+    metrics: Dict[str, float] = {}
+    for name, key, ks in (
+        ("obj_acc", "topk_obj", (1, 5, 10)),
+        ("obj_acc_2d", "topk_obj_2d", (1, 5, 10)),
+        ("rel_acc", "topk_rel", (1, 3, 5)),
+        ("rel_acc_2d", "topk_rel_2d", (1, 3, 5)),
+        ("triplet_acc", "topk_triplet", (50, 100)),
+        ("triplet_acc_2d", "topk_triplet_2d", (50, 100)),
+    ):
+        for k in ks:
+            metrics[f"{name}_{k}"] = topk_accuracy(arr[key], k)
+
+    m1, m3, m5 = compute_mean_predicate(cls_matrix, arr["topk_rel"], num_rel_classes=num_rel_classes)
+    m1_2, m3_2, m5_2 = compute_mean_predicate(cls_matrix, arr["topk_rel_2d"], num_rel_classes=num_rel_classes)
+    metrics.update(rel_acc_mean_1=m1, rel_acc_mean_3=m3, rel_acc_mean_5=m5,
+                   rel_acc_2d_mean_1=m1_2, rel_acc_2d_mean_3=m3_2, rel_acc_2d_mean_5=m5_2)
+
+    mr = get_mean_recall(arr["topk_triplet"], cls_matrix, num_rel_classes=num_rel_classes)
+    mr2 = get_mean_recall(arr["topk_triplet_2d"], cls_matrix, num_rel_classes=num_rel_classes)
+    metrics.update(mean_recall_50=float(mr[0]), mean_recall_100=float(mr[1]),
+                   mean_recall_2d_50=float(mr2[0]), mean_recall_2d_100=float(mr2[1]))
+
+    if train_triplet_vocab is not None:
+        metrics.update(get_zero_shot_recall(arr["topk_triplet"], cls_matrix, train_triplet_vocab))
+
+    if save_dir is not None:
+        os.makedirs(save_dir, exist_ok=True)
+        np.save(os.path.join(save_dir, "topk_pred_list.npy"), arr["topk_rel"])
+        np.save(os.path.join(save_dir, "topk_triplet_list.npy"), arr["topk_triplet"])
+        np.save(os.path.join(save_dir, "cls_matrix_list.npy"), cls_matrix)
+        if with_scores and sub_scores:
+            np.save(os.path.join(save_dir, "sub_scores_list.npy"), np.concatenate(sub_scores))
+            np.save(os.path.join(save_dir, "obj_scores_list.npy"), np.concatenate(obj_scores))
+            np.save(os.path.join(save_dir, "rel_scores_list.npy"), np.concatenate(rel_scores))
+        with open(os.path.join(save_dir, "result.txt"), "w") as f:
+            for k, v in metrics.items():
+                print(f"Eval: {k}: {v}", file=f)
+
+    return metrics

@@ -191,9 +191,13 @@ def assemble_triplet_topk(
         "cls_matrix": np.asarray(cls_rows, dtype=np.int64),
     }
     if sub_scores is not None:
-        out["sub_scores"] = np.asarray(s_list)
-        out["obj_scores"] = np.asarray(o_list)
-        out["rel_scores"] = np.asarray(r_list)
+        # scenes whose edges all lack GT produce empty lists; keep 2-D shape
+        out["sub_scores"] = (np.stack(s_list) if s_list
+                             else np.zeros((0, sub_scores.shape[-1]), np.float32))
+        out["obj_scores"] = (np.stack(o_list) if o_list
+                             else np.zeros((0, obj_scores.shape[-1]), np.float32))
+        out["rel_scores"] = (np.stack(r_list) if r_list
+                             else np.zeros((0, rel_scores.shape[-1]), np.float32))
     return out
 
 
@@ -222,6 +226,8 @@ def get_mean_recall(
             continue
         for i, k in enumerate(topk):
             per_k[i].append((cls_rank <= k).sum() * 100.0 / len(cls_rank))
+    if not per_k[0]:
+        return np.zeros(len(topk))
     return np.asarray(per_k, dtype=np.float32).mean(axis=1)
 
 

@@ -1,0 +1,116 @@
+"""Scene-level Recall@K / mean-Recall@K (SGG-style).
+
+Counterpart of src/utils/eval_utils_recall.py: per edge, keep the top
+``topk_each`` triplet candidates from the 160*160*26 confidence cube; merge
+into a scene-global top-max(K) ranking; an edge with GT counts as recalled
+at K if any of the first K global candidates names its exact
+(sub_cls, obj_cls, predicate) GT triplet (dedup per edge).  The per-class
+variant credits all GT predicates of a recalled edge.
+
+Redesign: the reference sorts each edge's full cube on the host
+(":44-60"); here the per-edge top-k is computed on device from the product
+structure — the top-t of {ns_ij * r_k} is contained in (top-t of ns) x
+(top-t of r), so only a t x R product table is formed, never the cube.
+Candidate order for equal confidences follows edge order (stable sort),
+matching the reference's incremental merge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("topk_each",))
+def per_edge_topk(
+    obj_logits: jnp.ndarray,   # (N, C)
+    rel_probs: jnp.ndarray,    # (E, R)
+    edge_index: jnp.ndarray,   # (E, 2)
+    topk_each: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-``topk_each`` (conf, flat idx) per edge; flat idx is the
+    row-major (sub_cls, obj_cls, rel) index in the C*C*R cube."""
+    probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
+    r = rel_probs.astype(jnp.float32)
+    c = probs.shape[-1]
+    nrel = r.shape[-1]
+    sub = probs[edge_index[:, 0]]
+    obj = probs[edge_index[:, 1]]
+    ns = (sub[:, :, None] * obj[:, None, :]).reshape(sub.shape[0], -1)  # (E, C*C)
+
+    t_ns = min(topk_each, ns.shape[-1])
+    ns_top, ns_idx = jax.lax.top_k(ns, t_ns)                    # (E, t_ns)
+    prod = ns_top[:, :, None] * r[:, None, :]                   # (E, t_ns, R)
+    flat = prod.reshape(prod.shape[0], -1)
+    k = min(topk_each, flat.shape[-1])
+    conf, pidx = jax.lax.top_k(flat, k)                          # (E, k)
+    ns_sel = jnp.take_along_axis(ns_idx, pidx // nrel, axis=-1)  # cube ij index
+    rel_sel = pidx % nrel
+    cube_idx = ns_sel * nrel + rel_sel                           # row-major (i, j, k)
+    return conf, cube_idx
+
+
+def scene_recall_topk(
+    obj_logits: np.ndarray,
+    rel_probs: np.ndarray,
+    gt_rels: np.ndarray,       # (E, R) multi-hot
+    gt_class: np.ndarray,      # (N,)
+    edge_index: np.ndarray,    # (E, 2)
+    topk: Sequence[int] = (20, 50, 100),
+    topk_each: int = 100,
+    num_rel_classes: int = 26,
+    per_class: bool = False,
+):
+    """Scene-level R@K (or per-class matrix when per_class=True)."""
+    conf, cube_idx = per_edge_topk(
+        jnp.asarray(obj_logits), jnp.asarray(rel_probs), jnp.asarray(edge_index),
+        topk_each=topk_each,
+    )
+    conf = np.asarray(conf).reshape(-1)
+    cube_idx = np.asarray(cube_idx).reshape(-1)
+    e_cnt, nrel = rel_probs.shape
+    c = obj_logits.shape[-1]
+    edge_ids = np.repeat(np.arange(e_cnt), min(topk_each, c * c * nrel))
+
+    kmax = int(max(topk))
+    order = np.argsort(-conf, kind="stable")[:kmax]
+    sel_edges = edge_ids[order]
+    sel_idx = cube_idx[order]
+
+    sub_cls = gt_class[edge_index[:, 0]]
+    obj_cls = gt_class[edge_index[:, 1]]
+
+    if per_class:
+        correct = np.zeros((num_rel_classes, len(topk)))
+        totals = np.asarray([(gt_rels[:, r] > 0).sum() for r in range(num_rel_classes)],
+                            dtype=np.float64)
+    else:
+        correct = np.zeros(len(topk))
+        total = float((gt_rels.sum(-1) > 0).sum())
+
+    done = [set() for _ in topk]
+    for rank, (e, idx) in enumerate(zip(sel_edges, sel_idx)):
+        i = idx // (c * nrel)
+        j = (idx // nrel) % c
+        rl = idx % nrel
+        if sub_cls[e] == i and obj_cls[e] == j and gt_rels[e, rl] > 0:
+            for t, k in enumerate(topk):
+                if rank < k and e not in done[t]:
+                    if per_class:
+                        for rg in np.nonzero(gt_rels[e])[0]:
+                            correct[rg, t] += 1
+                    else:
+                        correct[t] += 1
+                    done[t].add(e)
+
+    if per_class:
+        out = np.full((num_rel_classes, len(topk)), -1.0)
+        for r in range(num_rel_classes):
+            if totals[r] > 0:
+                out[r] = correct[r] / totals[r]
+        return out
+    return correct / max(total, 1.0)

@@ -1,0 +1,61 @@
+"""CLI entry: python -m vlsat_tpu.main --mode {train,eval} --config cfg.json
+
+Counterpart of the reference's main.py: loads the config (defaults merged
+with the given JSON), seeds, archives the resolved config under the
+experiment directory, builds the Runner and dispatches train / eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="vlsat_tpu: TPU-native 3D scene graph prediction")
+    p.add_argument("--config", type=str, default=None, help="experiment config JSON")
+    p.add_argument("--mode", type=str, choices=["train", "eval", "trace"], default="train")
+    p.add_argument("--exp", type=str, default="default")
+    p.add_argument("--loadbest", action="store_true", help="load best (vs latest) checkpoint")
+    p.add_argument("--data-parallel", action="store_true", help="shard batches over all devices")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from vlsat_tpu.config import load_config
+    from vlsat_tpu.utils.seeding import set_random_seed
+
+    cfg = load_config(args.config, overrides={
+        "MODE": args.mode, "exp": args.exp,
+        "EVAL": args.mode == "eval", "LOADBEST": args.loadbest,
+    })
+    set_random_seed(cfg.SEED)
+
+    exp_dir = os.path.join(cfg.PATH, cfg.NAME, args.exp)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    from vlsat_tpu.train.runner import Runner
+
+    runner = Runner(cfg, data_parallel=args.data_parallel)
+    if args.mode == "eval":
+        if not runner.load(best=args.loadbest):
+            print("warning: no checkpoint found, evaluating fresh init")
+        runner.validation(save=True, with_scores=True)
+    elif args.mode == "trace":
+        from vlsat_tpu.utils.export import trace_model
+        runner.load(best=args.loadbest)
+        trace_model(runner, os.path.join(exp_dir, "traced"))
+    else:
+        try:
+            runner.load(best=False)
+        except Exception as e:
+            print(f"unable to load previous model: {e}")
+        runner.train()
+        runner.validation(save=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -111,13 +111,27 @@ class PointNetEncoder(nn.Module):
 
     out_size: int
     hidden: Sequence[int] = (64, 128)
+    fused: bool = False  # route through the Pallas fused kernel (inference)
 
     @nn.compact
     def __call__(self, pts):
+        dims = (*self.hidden, self.out_size)
+        denses = [nn.Dense(f, name=f"conv{i + 1}") for i, f in enumerate(dims)]
+        if self.fused and len(dims) == 3 and not self.is_initializing():
+            # bind identical params via per-layer dummy rows, then run fused
+            cin = pts.shape[-1]
+            for d, f in zip(denses, dims):
+                d(jnp.zeros((1, cin), pts.dtype))
+                cin = f
+            ws = [d.variables["params"]["kernel"] for d in denses]
+            bs = [d.variables["params"]["bias"] for d in denses]
+            from vlsat_tpu.ops.pallas.pointnet_kernel import pointnet_encode_fused
+
+            return pointnet_encode_fused(pts, ws, bs)
         x = pts
-        for i, f in enumerate(self.hidden):
-            x = nn.relu(nn.Dense(f, name=f"conv{i + 1}")(x))
-        x = nn.relu(nn.Dense(self.out_size, name=f"conv{len(self.hidden) + 1}")(x))
+        for d in denses[:-1]:
+            x = nn.relu(d(x))
+        x = nn.relu(denses[-1](x))
         return x.max(axis=-2)
 
 

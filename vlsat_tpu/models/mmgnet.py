@@ -60,6 +60,7 @@ class MMGNetConfig:
     clip_feat_dim: int = 512
     adapter_alpha: float = 0.5
     multi_rel_outputs: bool = True
+    fused_pointnet: bool = False  # Pallas fused object encoder (inference)
 
 
 class RelPredictor(nn.Module):
@@ -129,9 +130,10 @@ class MMGNet(nn.Module):
         det = (not istrain) if deterministic is None else deterministic
 
         # --- 3D object branch -------------------------------------------------
-        obj_feature = PointNetEncoder(cfg.point_feature_size, name="obj_encoder")(
-            batch.obj_points
-        )
+        obj_feature = PointNetEncoder(
+            cfg.point_feature_size, fused=cfg.fused_pointnet and det,
+            name="obj_encoder",
+        )(batch.obj_points)
         obj_feature_3d_mimic = obj_feature[..., :512]
 
         obj_feature = nn.Dense(cfg.dim_node - 8, name="mlp_3d_fc")(obj_feature)

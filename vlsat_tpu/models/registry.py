@@ -1,0 +1,60 @@
+"""Model zoo registry: config NAME -> (model builder, train loss fn).
+
+The reference wires only Mmgnet into its runner (src/model/model.py:13);
+the other model files are swap-in variants.  Here every variant is
+selectable by config NAME.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+from vlsat_tpu.models.mmgnet import MMGNet, MMGNetConfig
+from vlsat_tpu.models.variants import (
+    MMGNetSingle,
+    SGFN,
+    SGFNConfig,
+    SGPN,
+    SGPNConfig,
+)
+from vlsat_tpu.train import losses
+
+
+def build_model(name: str, num_obj: int, num_rel: int, mcfg,
+                obj_text_features: Optional[np.ndarray] = None):
+    """mcfg is the config.MODEL sub-config (attribute access)."""
+    if name in ("Mmgnet", "MmgnetSingle"):
+        cfg = MMGNetConfig(
+            num_obj_classes=num_obj, num_rel_classes=num_rel,
+            point_feature_size=mcfg.point_feature_size,
+            dim_atten=mcfg.DIM_ATTEN, num_heads=mcfg.NUM_HEADS,
+            depth=mcfg.N_LAYERS, gcn_aggr=mcfg.GCN_AGGR,
+            dropout_atten=mcfg.DROP_OUT_ATTEN, use_gcn_edge=mcfg.USE_GCN_EDGE,
+            use_spatial=mcfg.USE_SPATIAL, clip_feat_dim=mcfg.clip_feat_dim,
+            adapter_alpha=mcfg.adapter_alpha,
+            multi_rel_outputs=mcfg.multi_rel_outputs,
+        )
+        if name == "Mmgnet":
+            return MMGNet(cfg=cfg, obj_text_features=obj_text_features), losses.vlsat_total_loss
+        return MMGNetSingle(cfg=cfg, obj_text_features=obj_text_features), losses.vlsat_single_loss
+    if name == "SGFN":
+        cfg = SGFNConfig(
+            num_obj_classes=num_obj, num_rel_classes=num_rel,
+            edge_feature_size=mcfg.get("edge_feature_size", 256),
+            dim_atten=mcfg.DIM_ATTEN, num_heads=mcfg.NUM_HEADS,
+            depth=mcfg.N_LAYERS, gcn_aggr=mcfg.GCN_AGGR,
+            dropout_atten=mcfg.DROP_OUT_ATTEN, use_spatial=mcfg.USE_SPATIAL,
+            use_gcn_edge=mcfg.USE_GCN_EDGE,
+            multi_rel_outputs=mcfg.multi_rel_outputs,
+        )
+        return SGFN(cfg=cfg), losses.sgfn_loss
+    if name == "SGPN":
+        cfg = SGPNConfig(
+            num_obj_classes=num_obj, num_rel_classes=num_rel,
+            edge_feature_size=mcfg.get("edge_feature_size", 256),
+            multi_rel_outputs=mcfg.multi_rel_outputs,
+        )
+        return SGPN(cfg=cfg), losses.sgpn_loss
+    raise ValueError(f"unknown model NAME {name!r}")

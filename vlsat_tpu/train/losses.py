@@ -142,3 +142,56 @@ def vlsat_total_loss(
         mimic_loss=loss_mimic, rel_mimic_loss_2d=loss_rel_mimic,
     )
     return total, aux
+
+
+def vlsat_single_loss(
+    outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
+    ignore_none_rel: bool = False, none_ratio: float = 1.0,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """3D-only variant: lambda_o*obj + 3*rel + 0.1*rel_mimic_3d
+    (model_single.py:356-373)."""
+    lambda_r = 1.0
+    lam = max(lambda_r, lambda_o)
+    lambda_r, lambda_o = lambda_r / lam, lambda_o / lam
+    loss_obj = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
+    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
+                            ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
+    loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    if batch.rel_text_feat is not None:
+        mimic = rel_mimic_l1(outputs["edge_feature_3d_dis"], batch.rel_text_feat,
+                             batch.edge_mask)
+    else:
+        mimic = jnp.asarray(0.0)
+    total = lambda_o * loss_obj + 3.0 * lambda_r * loss_rel + 0.1 * mimic
+    return total, dict(loss=total, obj_loss=loss_obj, rel_loss=loss_rel,
+                       rel_mimic_loss_3d=mimic)
+
+
+def sgfn_loss(
+    outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """SGFN baseline: lambda_o*obj + lambda_r*rel (baseline_sgfn.py:131-194).
+    The object head emits log-probs; CE over log-probs == NLL."""
+    lambda_r = 1.0
+    lam = max(lambda_r, lambda_o)
+    lambda_r, lambda_o = lambda_r / lam, lambda_o / lam
+    logp = outputs["obj_logits_3d"]
+    nll = -jnp.take_along_axis(logp, batch.gt_class[..., None], axis=-1)[..., 0]
+    loss_obj = masked_mean(nll, batch.obj_mask)
+    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask)
+    loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    total = lambda_o * loss_obj + lambda_r * loss_rel
+    return total, dict(loss=total, obj_loss=loss_obj, rel_loss=loss_rel)
+
+
+def sgpn_loss(
+    outputs: Dict[str, jnp.ndarray], batch: SceneBatch,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """SGPN baseline: 0.1*nll_obj + unweighted bce_rel
+    (baseline_sgpn.py:99-112)."""
+    logp = outputs["obj_logits_3d"]
+    nll = -jnp.take_along_axis(logp, batch.gt_class[..., None], axis=-1)[..., 0]
+    loss_obj = masked_mean(nll, batch.obj_mask)
+    loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, None, batch.edge_mask)
+    total = 0.1 * loss_obj + loss_rel
+    return total, dict(loss=total, obj_loss=loss_obj, rel_loss=loss_rel)

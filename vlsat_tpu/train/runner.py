@@ -1,0 +1,203 @@
+"""Experiment runner: wiring config -> data -> model -> train/eval loops.
+
+Counterpart of the reference runner ``MMGNet`` (src/model/model.py:18-362):
+builds datasets, model and optimizer from a Config, runs the epoch loop
+with progress/metric logging, periodic validation, checkpointing with
+best-model promotion on mean recall@50, and the standalone eval mode with
+artifact dumps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vlsat_tpu.config import Config
+from vlsat_tpu.data.assets import build_triplet_vocab, load_relationship_json
+from vlsat_tpu.data.dataset import SceneLoader, SSGScenes
+from vlsat_tpu.eval.engine import evaluate
+from vlsat_tpu.eval.metrics import object_ranks, predicate_rank_parts, assemble_predicate_topk, topk_accuracy
+from vlsat_tpu.models import MMGNet, MMGNetConfig
+from vlsat_tpu.parallel import make_mesh, replicate, shard_batch
+from vlsat_tpu.train.checkpoint import CheckpointManager
+from vlsat_tpu.train.optim import make_optimizer
+from vlsat_tpu.train.state import TrainState, create_train_state
+from vlsat_tpu.train.step import make_eval_step, make_train_step
+from vlsat_tpu.utils.logging import MetricLogger
+from vlsat_tpu.utils.progbar import Progbar
+
+
+def model_config_from(cfg: Config, num_obj: int, num_rel: int) -> MMGNetConfig:
+    m = cfg.MODEL
+    return MMGNetConfig(
+        num_obj_classes=num_obj,
+        num_rel_classes=num_rel,
+        point_feature_size=m.point_feature_size,
+        dim_atten=m.DIM_ATTEN,
+        num_heads=m.NUM_HEADS,
+        depth=m.N_LAYERS,
+        gcn_aggr=m.GCN_AGGR,
+        dropout_atten=m.DROP_OUT_ATTEN,
+        use_gcn_edge=m.USE_GCN_EDGE,
+        use_spatial=m.USE_SPATIAL,
+        clip_feat_dim=m.clip_feat_dim,
+        adapter_alpha=m.adapter_alpha,
+        multi_rel_outputs=m.multi_rel_outputs,
+    )
+
+
+class Runner:
+    def __init__(self, cfg: Config, data_parallel: bool = False):
+        self.cfg = cfg
+        d = cfg.dataset
+        self.mode = cfg.get("MODE", "train")
+
+        common = dict(
+            root=d.root,
+            scans_root=d.scans_root,
+            label_file=d.label_file,
+            num_points=d.num_points,
+            num_points_union=d.num_points_union,
+            multi_view_root=d.multi_view_root,
+            cache_root=d.cache_root,
+            with_union_points=d.with_union_points,
+            feat_dim=cfg.MODEL.clip_feat_dim,
+            multi_rel=cfg.MODEL.multi_rel_outputs,
+        )
+        self.train_scenes = None
+        if self.mode == "train":
+            self.train_scenes = SSGScenes(split="train_scans", **common)
+        self.valid_scenes = SSGScenes(split="validation_scans", **common)
+
+        num_obj = len(self.valid_scenes.class_names)
+        num_rel = len(self.valid_scenes.relation_names)
+        self.num_rel = num_rel
+
+        obj_text = None
+        if cfg.MODEL.obj_text_table:
+            obj_text = np.load(cfg.MODEL.obj_text_table)
+        from vlsat_tpu.models.registry import build_model
+
+        self.model, self.loss_fn = build_model(
+            cfg.NAME, num_obj, num_rel, cfg.MODEL, obj_text_features=obj_text)
+
+        n_train = len(self.train_scenes) if self.train_scenes else len(self.valid_scenes)
+        self.max_iteration = int(float(cfg.MAX_EPOCHES) * n_train // cfg.Batch_Size)
+        self.optimizer = make_optimizer(
+            lr=float(cfg.LR), max_iteration=max(self.max_iteration, 1),
+            weight_decay=float(cfg.W_DECAY or 0.0),
+        )
+
+        self.exp_dir = os.path.join(cfg.PATH, cfg.NAME, cfg.get("exp", "default"))
+        self.ckpt = CheckpointManager(os.path.join(self.exp_dir, "checkpoints"))
+        self.logger = MetricLogger(os.path.join(cfg.PATH, "logs", cfg.NAME, cfg.get("exp", "default")))
+
+        self.mesh = make_mesh() if data_parallel and jax.device_count() > 1 else None
+        self.state: Optional[TrainState] = None
+
+        self.train_triplet_vocab = None
+        try:
+            data = load_relationship_json(d.root, "train_scans")
+            self.train_triplet_vocab = build_triplet_vocab(
+                data, self.valid_scenes.class_names, self.valid_scenes.relation_names)
+        except FileNotFoundError:
+            pass
+
+    # ------------------------------------------------------------------ setup
+    def _init_state(self, example_batch) -> TrainState:
+        state = create_train_state(self.model, example_batch, self.optimizer,
+                                   seed=self.cfg.SEED)
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    def load(self, best: bool = False) -> bool:
+        loader = SceneLoader(self.valid_scenes, batch_size=1, shuffle=False)
+        example = next(iter(loader))
+        template = self._init_state(example)
+        restored = self.ckpt.restore(template, best=best)
+        if restored is None:
+            self.state = template
+            return False
+        self.state = restored
+        return True
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> None:
+        cfg = self.cfg
+        loader = SceneLoader(
+            self.train_scenes, batch_size=cfg.Batch_Size, shuffle=True,
+            seed=cfg.SEED, drop_last=True, for_train=True,
+            buckets=cfg.dataset.node_buckets,
+        )
+        val_loader = lambda: SceneLoader(self.valid_scenes, batch_size=1, shuffle=False,
+                                         buckets=cfg.dataset.node_buckets)
+        if self.state is None:
+            first = next(iter(loader))
+            self.state = self._init_state(first)
+        import inspect
+
+        lam = cfg.MODEL.lambda_o
+        if "lambda_o" in inspect.signature(self.loss_fn).parameters:
+            objective = lambda outputs, batch: self.loss_fn(outputs, batch, lambda_o=lam)
+        else:
+            objective = lambda outputs, batch: self.loss_fn(outputs, batch)
+        step_fn = make_train_step(self.model, self.optimizer, objective=objective)
+        eval_fn = make_eval_step(self.model)
+        rng = jax.random.PRNGKey(cfg.SEED + 7)
+
+        start_epoch = 1 + int(self.state.step) // max(len(loader), 1)
+        eva_res = -1.0
+        for epoch in range(start_epoch, cfg.MAX_EPOCHES + 1):
+            print(f"\nTraining epoch: {epoch}")
+            progbar = Progbar(len(loader), width=20,
+                              stateful_metrics=["Misc/epo", "Misc/it"])
+            for batch in loader:
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                self.state, aux = step_fn(self.state, batch, sub)
+                it = int(self.state.step)
+                logs = [(f"train/{k}", float(v)) for k, v in aux.items()]
+                logs += [("Misc/epo", epoch), ("Misc/it", it)]
+                progbar.add(1, values=logs)
+                if cfg.LOG_INTERVAL and it % cfg.LOG_INTERVAL == 0:
+                    self.logger.log(logs, it)
+                if it >= self.max_iteration:
+                    break
+            self.ckpt.save(self.state, eva_res if eva_res >= 0 else None)
+            if cfg.VALID_INTERVAL > 0 and epoch % cfg.VALID_INTERVAL == 0:
+                print("\nstart validation...")
+                metrics = evaluate(
+                    eval_fn, self.state.params, self.state.batch_stats,
+                    val_loader(), num_rel_classes=self.num_rel,
+                    train_triplet_vocab=self.train_triplet_vocab,
+                    total=len(self.valid_scenes),
+                )
+                eva_res = metrics["mean_recall_50"]
+                self.logger.log(list(metrics.items()), int(self.state.step))
+                self.ckpt.save(self.state, eva_res)
+            if int(self.state.step) >= self.max_iteration:
+                break
+
+    # ------------------------------------------------------------------- eval
+    def validation(self, save: bool = False, with_scores: bool = False) -> dict:
+        assert self.state is not None, "call load() first"
+        eval_fn = make_eval_step(self.model)
+        loader = SceneLoader(self.valid_scenes, batch_size=1, shuffle=False,
+                             buckets=self.cfg.dataset.node_buckets)
+        save_dir = os.path.join(self.cfg.PATH, "results", self.cfg.NAME,
+                                self.cfg.get("exp", "default")) if save else None
+        metrics = evaluate(
+            eval_fn, self.state.params, self.state.batch_stats, loader,
+            num_rel_classes=self.num_rel,
+            train_triplet_vocab=self.train_triplet_vocab,
+            save_dir=save_dir, with_scores=with_scores,
+            total=len(self.valid_scenes),
+        )
+        for k, v in metrics.items():
+            print(f"Eval: {k}: {v}")
+        return metrics

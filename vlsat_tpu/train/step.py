@@ -27,7 +27,13 @@ from vlsat_tpu.train.state import TrainState
 
 
 def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
-                    lambda_o: float = 0.1, donate: bool = True):
+                    lambda_o: float = 0.1, donate: bool = True,
+                    objective=None):
+    """``objective(outputs, batch) -> (loss, aux)``; defaults to the
+    flagship VL-SAT loss with the given lambda_o."""
+    if objective is None:
+        objective = lambda outputs, batch: vlsat_total_loss(outputs, batch, lambda_o=lambda_o)
+
     def loss_fn(params, batch_stats, batch, rng):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -36,8 +42,9 @@ def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
-        loss, aux = vlsat_total_loss(outputs, batch, lambda_o=lambda_o)
-        aux["logit_scale"] = outputs["logit_scale"]
+        loss, aux = objective(outputs, batch)
+        if "logit_scale" in outputs:
+            aux["logit_scale"] = outputs["logit_scale"]
         return loss, (aux, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch: SceneBatch, rng) -> Tuple[TrainState, Dict[str, Any]]:
