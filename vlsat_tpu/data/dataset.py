@@ -59,6 +59,7 @@ class SSGScenes:
         multi_rel: bool = True,
         mesh_cache_size: int = 8,
         triplet_text_lookup=None,
+        use_native: bool = True,
     ):
         self.scans_root = scans_root
         self.label_file = label_file
@@ -87,6 +88,11 @@ class SSGScenes:
         self._mesh_cache_size = mesh_cache_size
         if cache_root:
             os.makedirs(cache_root, exist_ok=True)
+        self._native = None
+        if use_native:
+            from vlsat_tpu import native as _native_mod
+
+            self._native = _native_mod.load()  # None -> NumPy fallback
 
     def __len__(self) -> int:
         return len(self.index.scenes)
@@ -101,12 +107,20 @@ class SSGScenes:
             z = np.load(npz_path)
             mesh = {"points": z["points"], "instances": z["instances"]}
         else:
-            ply = read_ply_vertices(
-                os.path.join(self.scans_root, scan, self.label_file)
-            )
-            if ply.instances is None:
-                raise ValueError(f"{scan}: PLY has no objectId/label attribute")
-            mesh = {"points": ply.points, "instances": ply.instances}
+            path = os.path.join(self.scans_root, scan, self.label_file)
+            if self._native is not None:
+                try:
+                    pts, inst = self._native.read_ply(path)
+                    mesh = {"points": pts, "instances": inst}
+                except IOError:
+                    mesh = None
+            else:
+                mesh = None
+            if mesh is None:
+                ply = read_ply_vertices(path)
+                if ply.instances is None:
+                    raise ValueError(f"{scan}: PLY has no objectId/label attribute")
+                mesh = {"points": ply.points, "instances": ply.instances}
             if npz_path:
                 np.savez_compressed(npz_path, **mesh)
         self._mesh_cache[scan] = mesh
@@ -127,20 +141,27 @@ class SSGScenes:
         if n == 0:
             raise ValueError(f"{ann.scan_id}: no annotated instance present in mesh")
 
-        obj_points = np.zeros((n, self.num_points, 3), np.float32)
-        descriptor = np.zeros((n, 11), np.float32)
         obj_2d = np.zeros((n, self.feat_dim), np.float32)
         gt_class = np.zeros((n,), np.int32)
         boxes = {}
+        use_native = self._native is not None and not self.with_union_points
+        if use_native:
+            seed = int(rng.randint(0, 2**31 - 1))
+            obj_points, descriptor = self._native.prepare_instances(
+                points, instances, nodes, self.num_points, seed)
+        else:
+            obj_points = np.zeros((n, self.num_points, 3), np.float32)
+            descriptor = np.zeros((n, 11), np.float32)
         for k, iid in enumerate(nodes):
             name = ann.objects[iid]
             gt_class[k] = self.class_names.index(name)
-            sel = points[instances == iid]
-            boxes[iid] = (sel.min(0) - 0.2, sel.max(0) + 0.2)
-            choice = rng.choice(len(sel), self.num_points, replace=True)
-            sample = sel[choice].astype(np.float32)
-            descriptor[k] = _descriptor_np(sample)
-            obj_points[k] = sample - sample.mean(0, keepdims=True)
+            if not use_native:
+                sel = points[instances == iid]
+                boxes[iid] = (sel.min(0) - 0.2, sel.max(0) + 0.2)
+                choice = rng.choice(len(sel), self.num_points, replace=True)
+                sample = sel[choice].astype(np.float32)
+                descriptor[k] = _descriptor_np(sample)
+                obj_points[k] = sample - sample.mean(0, keepdims=True)
             if self.multi_view_root is not None:
                 fp = os.path.join(
                     self.multi_view_root, "data", "3RScan", ann.scan, "multi_view",

@@ -22,7 +22,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vlsat_tpu.models.layers import DenseStack, HeadMLP
+from vlsat_tpu.models.layers import DenseStack, HeadMLP, MaskedBatchNorm
 from vlsat_tpu.ops.graph import gather_edge_endpoints, scatter_edges_to_nodes
 
 
@@ -103,3 +103,75 @@ class GraphEdgeAttenNetwork(nn.Module):
             [self.dim_node + self.dim_atten, self.dim_node], name="prop"
         )(jnp.concatenate([x, agg], axis=-1))
         return x_new, edge_new
+
+
+class TripletGCN(nn.Module):
+    """Graph-triple convolution (reference network_TripletGCN.py:43-71).
+
+    message = nn1([x_i, e, x_j]) split into (new_i | new_e | new_j);
+    node update = x + nn2(scatter_add(new_i + new_j, target)); under the
+    default source_to_target flow x_i is the *target* (edge[..., 1]) and
+    aggregation lands there.  nn1 has BatchNorm+ReLU on every layer
+    (on_last=True), nn2 between layers only.
+    """
+
+    dim_node: int
+    dim_edge: int
+    dim_hidden: int
+    aggr: str = "add"
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, edge_feature, edge_index, edge_mask, *,
+                 deterministic: bool = True):
+        dh, de = self.dim_hidden, self.dim_edge
+        x_j, x_i = gather_edge_endpoints(x, edge_index)  # j=edge[0], i=edge[1]
+        h = jnp.concatenate([x_i, edge_feature, x_j], axis=-1)
+        # nn1: [in -> dh -> 2dh+de], BN+ReLU after each (on_last=True)
+        h = nn.Dense(dh, name="nn1_fc0")(h)
+        if self.use_bn:
+            h = MaskedBatchNorm(dh, name="nn1_bn0")(h, edge_mask,
+                                                    use_running_average=deterministic)
+        h = nn.relu(h)
+        h = nn.Dense(2 * dh + de, name="nn1_fc1")(h)
+        if self.use_bn:
+            h = MaskedBatchNorm(2 * dh + de, name="nn1_bn1")(
+                h, edge_mask, use_running_average=deterministic)
+        h = nn.relu(h)
+        new_i = h[..., :dh]
+        new_e = h[..., dh:dh + de]
+        new_j = h[..., dh + de:]
+        msg = new_i + new_j
+        agg = scatter_edges_to_nodes(msg, edge_index, edge_mask,
+                                     num_nodes=x.shape[1], aggr=self.aggr,
+                                     target=1)
+        # nn2: [dh -> dh -> dim_node], BN+ReLU between only
+        g = nn.Dense(dh, name="nn2_fc0")(agg)
+        if self.use_bn:
+            g = MaskedBatchNorm(dh, name="nn2_bn0")(
+                g, jnp.ones(g.shape[:-1], bool), use_running_average=deterministic)
+        g = nn.relu(g)
+        g = nn.Dense(self.dim_node, name="nn2_fc1")(g)
+        return x + g, new_e
+
+
+class TripletGCNModel(nn.Module):
+    """Stack of TripletGCN layers (network_TripletGCN.py:73-91)."""
+
+    num_layers: int
+    dim_node: int
+    dim_edge: int
+    dim_hidden: int
+    aggr: str = "add"
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, e, edge_index, edge_mask, *, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x, e = TripletGCN(self.dim_node, self.dim_edge, self.dim_hidden,
+                              aggr=self.aggr, use_bn=self.use_bn,
+                              name=f"gconv_{i}")(x, e, edge_index, edge_mask,
+                                                 deterministic=deterministic)
+            if i < self.num_layers - 1:
+                x, e = nn.relu(x), nn.relu(e)
+        return x, e

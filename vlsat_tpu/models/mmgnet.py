@@ -61,6 +61,11 @@ class MMGNetConfig:
     adapter_alpha: float = 0.5
     multi_rel_outputs: bool = True
     fused_pointnet: bool = False  # Pallas fused object encoder (inference)
+    # in21k-variant switches (reference model_in21k.py: dim_node 768,
+    # no adapter, plain Linear classifiers, no 768->504 bottleneck):
+    cosine_classifier: bool = True
+    use_adapter: bool = True
+    use_mlp_3d: bool = True
 
 
 class RelPredictor(nn.Module):
@@ -134,14 +139,15 @@ class MMGNet(nn.Module):
             cfg.point_feature_size, fused=cfg.fused_pointnet and det,
             name="obj_encoder",
         )(batch.obj_points)
-        obj_feature_3d_mimic = obj_feature[..., :512]
+        obj_feature_3d_mimic = obj_feature[..., : cfg.clip_feat_dim]
 
-        obj_feature = nn.Dense(cfg.dim_node - 8, name="mlp_3d_fc")(obj_feature)
-        obj_feature = MaskedBatchNorm(cfg.dim_node - 8, name="mlp_3d_bn")(
-            obj_feature, batch.obj_mask, use_running_average=det
-        )
-        obj_feature = nn.relu(obj_feature)
-        obj_feature = nn.Dropout(0.1, deterministic=det)(obj_feature)
+        if cfg.use_mlp_3d:
+            obj_feature = nn.Dense(cfg.dim_node - 8, name="mlp_3d_fc")(obj_feature)
+            obj_feature = MaskedBatchNorm(cfg.dim_node - 8, name="mlp_3d_bn")(
+                obj_feature, batch.obj_mask, use_running_average=det
+            )
+            obj_feature = nn.relu(obj_feature)
+            obj_feature = nn.Dropout(0.1, deterministic=det)(obj_feature)
 
         if cfg.use_spatial:
             spatial = batch.descriptor[..., 3:]
@@ -161,12 +167,15 @@ class MMGNet(nn.Module):
             edge_feat[..., None, :]
         )
 
-        # --- 2D branch (frozen adapter) ---------------------------------------
-        obj_2d = jax.lax.stop_gradient(
-            AdapterModel(alpha=cfg.adapter_alpha, name="clip_adapter")(
-                batch.obj_2d_feats
+        # --- 2D branch (frozen adapter; in21k feeds features directly) -------
+        if cfg.use_adapter:
+            obj_2d = jax.lax.stop_gradient(
+                AdapterModel(alpha=cfg.adapter_alpha, name="clip_adapter")(
+                    batch.obj_2d_feats
+                )
             )
-        )
+        else:
+            obj_2d = batch.obj_2d_feats
         obj_features_2d_mimic = obj_2d
 
         obj_center = batch.descriptor[..., :3]
@@ -196,19 +205,25 @@ class MMGNet(nn.Module):
             name="rel_predictor_2d",
         )(e2d, deterministic=det)
 
-        logit_scale = jnp.exp(
-            self.param("obj_logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32))
-        )
-        kinit = _text_kernel_init(self.obj_text_features)
+        if cfg.cosine_classifier:
+            logit_scale = jnp.exp(
+                self.param("obj_logit_scale",
+                           lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32))
+            )
+            kinit = _text_kernel_init(self.obj_text_features)
 
-        def cosine_logits(x, name):
-            xn = safe_normalize(x)
-            return logit_scale * nn.Dense(
-                cfg.num_obj_classes, kernel_init=kinit, name=name
-            )(xn)
+            def obj_logits(x, name):
+                return logit_scale * nn.Dense(
+                    cfg.num_obj_classes, kernel_init=kinit, name=name
+                )(safe_normalize(x))
+        else:
+            logit_scale = jnp.asarray(1.0)
 
-        obj_logits_3d = cosine_logits(f3d, "obj_predictor_3d")
-        obj_logits_2d = cosine_logits(f2d, "obj_predictor_2d")
+            def obj_logits(x, name):
+                return nn.Dense(cfg.num_obj_classes, name=name)(x)
+
+        obj_logits_3d = obj_logits(f3d, "obj_predictor_3d")
+        obj_logits_2d = obj_logits(f2d, "obj_predictor_2d")
 
         out = {
             "obj_logits_3d": obj_logits_3d,

@@ -57,4 +57,43 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             multi_rel_outputs=mcfg.multi_rel_outputs,
         )
         return SGPN(cfg=cfg), losses.sgpn_loss
+    if name == "MMteacher":
+        from vlsat_tpu.models.mmteacher import MMTeacher, mmteacher_loss
+
+        cfg = MMGNetConfig(
+            num_obj_classes=num_obj, num_rel_classes=num_rel,
+            dim_atten=mcfg.DIM_ATTEN, num_heads=mcfg.NUM_HEADS,
+            depth=mcfg.N_LAYERS, gcn_aggr=mcfg.GCN_AGGR,
+            dropout_atten=mcfg.DROP_OUT_ATTEN, use_gcn_edge=mcfg.USE_GCN_EDGE,
+            use_spatial=mcfg.USE_SPATIAL,
+            multi_rel_outputs=mcfg.multi_rel_outputs,
+        )
+        return MMTeacher(cfg=cfg, obj_text_features=obj_text_features), mmteacher_loss
+    if name == "MmgnetIn21k":
+        # 768-d ImageNet-21k features, no adapter, plain classifiers
+        # (reference model_in21k.py:45,76,144-156,295-296)
+        cfg = MMGNetConfig(
+            num_obj_classes=num_obj, num_rel_classes=num_rel,
+            point_feature_size=760, dim_node=768, dim_edge=768,
+            dim_atten=mcfg.DIM_ATTEN, num_heads=mcfg.NUM_HEADS,
+            depth=mcfg.N_LAYERS, gcn_aggr=mcfg.GCN_AGGR,
+            dropout_atten=mcfg.DROP_OUT_ATTEN, use_gcn_edge=mcfg.USE_GCN_EDGE,
+            use_spatial=mcfg.USE_SPATIAL, clip_feat_dim=768,
+            multi_rel_outputs=mcfg.multi_rel_outputs,
+            cosine_classifier=False, use_adapter=False, use_mlp_3d=False,
+        )
+        return MMGNet(cfg=cfg), losses.vlsat_total_loss
+    if name == "SGGpoint":
+        from vlsat_tpu.models.sggpoint import SGGpoint, SGGpointConfig, sggpoint_loss
+
+        cfg = SGGpointConfig(num_obj_classes=num_obj, num_rel_classes=num_rel,
+                             num_heads=mcfg.NUM_HEADS,
+                             use_spatial=mcfg.USE_SPATIAL)
+        return SGGpoint(cfg=cfg, obj_text_features=obj_text_features), sggpoint_loss
+    if name == "SGGpointBaseline":
+        from vlsat_tpu.models.sggpoint import (
+            SGGpointBaseline, SGGpointConfig, sggpoint_baseline_loss)
+
+        cfg = SGGpointConfig(num_obj_classes=num_obj, num_rel_classes=num_rel)
+        return SGGpointBaseline(cfg=cfg), sggpoint_baseline_loss
     raise ValueError(f"unknown model NAME {name!r}")

@@ -1,0 +1,142 @@
+"""Relationship-JSON generation from segmented scans.
+
+Counterpart of data_processing/gen_data_gt.py (GT segmentation) and the
+scene-splitting machinery: large scans are split into subgraph groups by
+seed sampling + bbox neighbor growth (gen_data_gt.py:48-172), and each
+group becomes one scan-split entry in the relationships JSON — the unit
+the training pipeline consumes.
+
+The estimated-segmentation variant (gen_data.py) maps predicted segments
+to GT instances by overlap before inheriting relations; ``map_segments``
+implements that correspondence search.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+
+def sample_seed_points(points: np.ndarray, distance: float = 1.0,
+                       rng: Optional[np.random.RandomState] = None) -> List[int]:
+    """Greedy xy-plane Poisson-disk-ish seeds (gen_data_gt.py:58-74):
+    repeatedly pick a random point farther than ``distance`` (in xy) from
+    every selected seed."""
+    rng = rng or np.random.RandomState(0)
+    idx = int(rng.choice(len(points)))
+    selected = [idx]
+    min_d = np.linalg.norm(points[:, :2] - points[idx, :2], axis=1)
+    while True:
+        selectable = np.nonzero(min_d > distance)[0]
+        if len(selectable) < 1:
+            break
+        idx = int(rng.choice(selectable))
+        selected.append(idx)
+        d = np.linalg.norm(points[:, :2] - points[idx, :2], axis=1)
+        min_d = np.minimum(min_d, d)
+    return selected
+
+
+def bbox_groups(points: np.ndarray, segments: np.ndarray, seeds: Sequence[int],
+                bbox_distance: float = 0.75, min_seg_per_group: int = 5) -> List[List[int]]:
+    """Instance-id groups per seed bbox (gen_data_gt.py:97-113)."""
+    groups: List[List[int]] = []
+    for s in seeds:
+        lo = points[s] - bbox_distance
+        hi = points[s] + bbox_distance
+        inside = np.all((points > lo) & (points < hi), axis=1)
+        ids = np.unique(segments[inside])
+        ids = ids[ids != 0]
+        if len(ids) < min_seg_per_group:
+            continue
+        groups.append([int(i) for i in ids])
+    return groups
+
+
+def split_scene_relationships(
+    scan_id: str,
+    instance_names: Dict[int, str],
+    relationships: Sequence[Sequence],
+    groups: Sequence[Sequence[int]],
+) -> List[dict]:
+    """One relationships-JSON 'scans' entry per group, keeping only
+    relations with both endpoints inside the group."""
+    entries = []
+    for split_idx, group in enumerate(groups, start=1):
+        gset = set(group)
+        objs = {str(i): instance_names[i] for i in group if i in instance_names}
+        rels = [list(r) for r in relationships
+                if r[0] in gset and r[1] in gset]
+        entries.append({
+            "scan": scan_id,
+            "split": split_idx,
+            "objects": objs,
+            "relationships": rels,
+        })
+    return entries
+
+
+def map_segments(
+    pred_points: np.ndarray, pred_segments: np.ndarray,
+    gt_points: np.ndarray, gt_instances: np.ndarray,
+    max_dist: float = 0.1, occ_thres: float = 0.5,
+) -> Dict[int, int]:
+    """Estimated-segmentation -> GT-instance correspondence
+    (gen_data.py:--max_dist/--occ_thres semantics): a predicted segment
+    maps to the GT instance owning the majority of its points' nearest GT
+    neighbors (within max_dist), if that majority passes occ_thres."""
+    mapping: Dict[int, int] = {}
+    for seg in np.unique(pred_segments):
+        if seg == 0:
+            continue
+        pts = pred_points[pred_segments == seg]
+        # chunked brute-force nearest neighbor (no scipy dependency)
+        votes: Dict[int, int] = {}
+        for i in range(0, len(pts), 512):
+            chunk = pts[i:i + 512]
+            d2 = np.square(chunk[:, None, :] - gt_points[None, :, :]).sum(-1)
+            nn = np.argmin(d2, axis=1)
+            ok = np.sqrt(d2[np.arange(len(chunk)), nn]) <= max_dist
+            for inst in gt_instances[nn[ok]]:
+                votes[int(inst)] = votes.get(int(inst), 0) + 1
+        if not votes:
+            continue
+        best, cnt = max(votes.items(), key=lambda kv: kv[1])
+        if best != 0 and cnt / len(pts) >= occ_thres:
+            mapping[int(seg)] = best
+    return mapping
+
+
+def build_neighbor_graph(points: np.ndarray, segments: np.ndarray,
+                         radius: float = 0.5, sample: int = 512,
+                         rng: Optional[np.random.RandomState] = None) -> Dict[int, Set[int]]:
+    """Segment adjacency by point proximity (utils/util_data.py:25-51
+    'build_neighbor' semantics, radius search instead of BFS layers)."""
+    rng = rng or np.random.RandomState(0)
+    ids = [int(i) for i in np.unique(segments) if i != 0]
+    reps = {}
+    for i in ids:
+        pts = points[segments == i]
+        if len(pts) > sample:
+            pts = pts[rng.choice(len(pts), sample, replace=False)]
+        reps[i] = pts
+    nbrs: Dict[int, Set[int]] = {i: set() for i in ids}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            pa, pb = reps[ids[a]], reps[ids[b]]
+            d2 = np.square(pa[:, None, :] - pb[None, :, :]).sum(-1)
+            if d2.min() <= radius * radius:
+                nbrs[ids[a]].add(ids[b])
+                nbrs[ids[b]].add(ids[a])
+    return nbrs
+
+
+def train_valid_split(scan_ids: Sequence[str], valid_fraction: float = 0.1,
+                      seed: int = 2020) -> Tuple[List[str], List[str]]:
+    """90/10 split (data_processing/generate_train_valid_test_splits.py)."""
+    rng = np.random.RandomState(seed)
+    ids = list(scan_ids)
+    rng.shuffle(ids)
+    n_valid = max(1, int(round(len(ids) * valid_fraction)))
+    return sorted(ids[n_valid:]), sorted(ids[:n_valid])

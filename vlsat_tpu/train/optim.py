@@ -37,15 +37,36 @@ def label_params(params: Dict[str, Any]) -> Dict[str, Any]:
     return traverse_util.unflatten_dict(labels)
 
 
+def batch_multiplicative_schedule(base_lr: float, factor: float = 0.95,
+                                  batch_size: int = 1,
+                                  ref_batch_size: int = 1):
+    """Batch-size-aware multiplicative decay — the semantics of the
+    reference's (unused) ``BatchMultiplicativeLR``
+    (src/utils/optimizer.py:6-133): each step multiplies the LR by
+    ``factor`` scaled by the seen batch fraction."""
+    exponent = batch_size / max(ref_batch_size, 1)
+
+    def schedule(step):
+        return base_lr * (factor ** (step * exponent))
+
+    return schedule
+
+
 def make_optimizer(
     lr: float = 1e-4,
     max_iteration: int = 100_000,
     weight_decay: float = 0.0,
     b1: float = 0.9,
     b2: float = 0.999,
+    schedule: str = "Cosine",
 ) -> optax.GradientTransformation:
     def adamw(factor: float):
-        sched = optax.cosine_decay_schedule(lr * factor, max_iteration, alpha=0.0)
+        if schedule == "Cosine":
+            sched = optax.cosine_decay_schedule(lr * factor, max_iteration, alpha=0.0)
+        elif schedule == "BatchMultiplicative":
+            sched = batch_multiplicative_schedule(lr * factor)
+        else:
+            raise ValueError(f"unknown LR schedule {schedule!r}")
         return optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
 
     return optax.multi_transform(
