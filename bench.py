@@ -24,14 +24,17 @@ def main():
     from vlsat_tpu.models import MMGNet, MMGNetConfig
     from vlsat_tpu.train.step import make_eval_step
 
-    batch_scenes = 8
-    node_counts = (9, 11, 12, 13, 14, 15, 16, 10)
+    node_counts = (9, 11, 12, 13, 14, 15, 16, 10) * 4
+    batch_scenes = len(node_counts)
     batch = make_batch(seed=0, node_counts=node_counts, num_points=128, bucket=16)
 
     model = MMGNet(cfg=MMGNetConfig())
+    # init on a tiny batch — parameter shapes are batch-independent and this
+    # avoids compiling the full-size train-mode graph just for init
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-        batch, istrain=True,
+        tiny, istrain=True,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -1,0 +1,64 @@
+"""Tests for STN modules, pretrain-freeze labels, rel-only edges, schedules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlsat_tpu.models.stn import STN3d, STNkd, apply_transform
+
+
+def test_stn_identity_at_init():
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(2, 32, 3).astype(np.float32))
+    stn = STN3d()
+    v = stn.init(jax.random.PRNGKey(0), pts)
+    trans = stn.apply(v, pts)
+    assert trans.shape == (2, 3, 3)
+    # fc3 kernel zero-init -> bias-dependent offset around identity; with
+    # zero bias init it IS the identity
+    np.testing.assert_allclose(np.asarray(trans[0]), np.eye(3), atol=1e-5)
+    out = apply_transform(pts, trans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pts), atol=1e-5)
+    k = STNkd(k=16)
+    feats = jnp.asarray(rng.randn(2, 32, 16).astype(np.float32))
+    v2 = k.init(jax.random.PRNGKey(0), feats)
+    assert k.apply(v2, feats).shape == (2, 16, 16)
+
+
+def test_freeze_non_predictor_labels():
+    from flax import traverse_util
+
+    from vlsat_tpu.train.optim import label_params
+
+    params = {
+        "obj_encoder": {"conv1": {"kernel": np.zeros((3, 4))}},
+        "rel_predictor_3d": {"fc1": {"kernel": np.zeros((3, 4))}},
+        "obj_predictor_3d": {"kernel": np.zeros((3, 4))},
+        "clip_adapter": {"fc1": {"kernel": np.zeros((3, 4))}},
+    }
+    labels = traverse_util.flatten_dict(label_params(params, freeze_non_predictor=True))
+    got = {"/".join(k): v for k, v in labels.items()}
+    assert got["obj_encoder/conv1/kernel"] == "frozen"
+    assert got["clip_adapter/fc1/kernel"] == "frozen"
+    assert got["rel_predictor_3d/fc1/kernel"] == "base"
+    assert got["obj_predictor_3d/kernel"] == "obj_predictor"
+
+
+def test_rel_only_edges(tmp_path):
+    from tests.mini_data import make_mini_dataset
+    from vlsat_tpu.data.dataset import SSGScenes
+
+    root, scans = make_mini_dataset(tmp_path)
+    ds = SSGScenes(root, scans, "train_scans", all_edges=False)
+    s = ds.prepare(0, np.random.RandomState(0))
+    assert s["edge_index"].shape == (2, 2)  # only the 2 annotated pairs
+    assert s["gt_rels"].sum() == 2
+    assert (s["gt_rels"].sum(-1) > 0).all()
+
+
+def test_batch_multiplicative_schedule():
+    from vlsat_tpu.train.optim import batch_multiplicative_schedule
+
+    s = batch_multiplicative_schedule(1.0, factor=0.5, batch_size=2, ref_batch_size=1)
+    np.testing.assert_allclose(s(0), 1.0)
+    np.testing.assert_allclose(s(1), 0.25)

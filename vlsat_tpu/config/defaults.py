@@ -51,6 +51,7 @@ DEFAULT_CONFIG = {
         "NONE_RATIO": 1.0,
         "NUM_HEADS": 8,
         "use_descriptor": True,
+        "use_pretrain": "",
         "adapter_alpha": 0.5,
         # CLIP assets: pre-computed text tables (see vlsat_tpu.clipsem)
         "obj_text_table": None,

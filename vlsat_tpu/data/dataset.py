@@ -60,6 +60,7 @@ class SSGScenes:
         mesh_cache_size: int = 8,
         triplet_text_lookup=None,
         use_native: bool = True,
+        all_edges: bool = True,
     ):
         self.scans_root = scans_root
         self.label_file = label_file
@@ -71,6 +72,7 @@ class SSGScenes:
         self.feat_dim = feat_dim
         self.multi_rel = multi_rel
         self.triplet_text_lookup = triplet_text_lookup
+        self.all_edges = all_edges
 
         data = load_relationship_json(root, split)
         self.index: DatasetIndex = build_index(root, split, data=data,
@@ -169,7 +171,17 @@ class SSGScenes:
                 )
                 obj_2d[k] = np.load(fp)
 
-        edge_index = full_edge_index(n)
+        if self.all_edges:
+            edge_index = full_edge_index(n)
+        else:
+            # annotated-pairs-only edges (the reference's all_edge=False
+            # branch, dataset_3dssg.py:267-268)
+            pairs = sorted({
+                (nodes.index(r[0]), nodes.index(r[1]))
+                for r in ann.relationships if r[0] in nodes and r[1] in nodes
+            })
+            edge_index = (np.asarray(pairs, np.int32).reshape(-1, 2)
+                          if pairs else np.zeros((0, 2), np.int32))
         e = len(edge_index)
         n_rel = len(self.relation_names)
         adj = np.zeros((n, n, n_rel), np.float32)

@@ -21,12 +21,18 @@ import optax
 from flax import traverse_util
 
 
-def label_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def label_params(params: Dict[str, Any], freeze_non_predictor: bool = False) -> Dict[str, Any]:
+    """``freeze_non_predictor`` replicates the reference's
+    ``load_pretrain_model(is_freeze=True)`` (model_base.py:131-147): every
+    module whose name lacks 'predictor' is frozen after loading pretrained
+    weights."""
     flat = traverse_util.flatten_dict(params)
     labels = {}
     for path in flat:
         top = path[0]
         if top == "clip_adapter":
+            labels[path] = "frozen"
+        elif freeze_non_predictor and "predictor" not in top:
             labels[path] = "frozen"
         elif top in ("obj_predictor_2d", "obj_predictor_3d"):
             labels[path] = "obj_predictor"
@@ -59,6 +65,7 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     schedule: str = "Cosine",
+    freeze_non_predictor: bool = False,
 ) -> optax.GradientTransformation:
     def adamw(factor: float):
         if schedule == "Cosine":
@@ -69,6 +76,8 @@ def make_optimizer(
             raise ValueError(f"unknown LR schedule {schedule!r}")
         return optax.adamw(sched, b1=b1, b2=b2, weight_decay=weight_decay)
 
+    from functools import partial
+
     return optax.multi_transform(
         {
             "base": adamw(1.0),
@@ -77,5 +86,5 @@ def make_optimizer(
             "obj_predictor": adamw(0.1),
             "frozen": optax.set_to_zero(),
         },
-        label_params,
+        partial(label_params, freeze_non_predictor=freeze_non_predictor),
     )

@@ -86,9 +86,12 @@ class Runner:
 
         n_train = len(self.train_scenes) if self.train_scenes else len(self.valid_scenes)
         self.max_iteration = int(float(cfg.MAX_EPOCHES) * n_train // cfg.Batch_Size)
+        self.use_pretrain = cfg.MODEL.get("use_pretrain", "") or ""
         self.optimizer = make_optimizer(
             lr=float(cfg.LR), max_iteration=max(self.max_iteration, 1),
             weight_decay=float(cfg.W_DECAY or 0.0),
+            schedule=cfg.get("LR_SCHEDULE", "Cosine"),
+            freeze_non_predictor=bool(self.use_pretrain),
         )
 
         self.exp_dir = os.path.join(cfg.PATH, cfg.NAME, cfg.get("exp", "default"))
@@ -138,6 +141,16 @@ class Runner:
         if self.state is None:
             first = next(iter(loader))
             self.state = self._init_state(first)
+        if self.use_pretrain:
+            # reference load_pretrain_model: load weights, train only the
+            # predictor heads (model_base.py:131-147)
+            pre = CheckpointManager(self.use_pretrain)
+            restored = pre.restore(self.state, best=True)
+            if restored is not None:
+                self.state = self.state.replace(
+                    params=restored.params, batch_stats=restored.batch_stats)
+            else:
+                print(f"warning: no pretrain checkpoint at {self.use_pretrain}")
         import inspect
 
         lam = cfg.MODEL.lambda_o
