@@ -184,13 +184,29 @@ class SSGScenes:
                           if pairs else np.zeros((0, 2), np.int32))
         e = len(edge_index)
         n_rel = len(self.relation_names)
-        adj = np.zeros((n, n, n_rel), np.float32)
-        for r in ann.relationships:
-            if r[0] not in nodes or r[1] not in nodes:
-                continue
-            assert r[3] in self.relation_names, f"invalid relation {r[3]}"
-            adj[nodes.index(r[0]), nodes.index(r[1]), self.relation_names.index(r[3])] = 1
-        gt_rels = adj[edge_index[:, 0], edge_index[:, 1]] if e else np.zeros((0, n_rel), np.float32)
+        if self.multi_rel:
+            adj = np.zeros((n, n, n_rel), np.float32)
+            for r in ann.relationships:
+                if r[0] not in nodes or r[1] not in nodes:
+                    continue
+                assert r[3] in self.relation_names, f"invalid relation {r[3]}"
+                adj[nodes.index(r[0]), nodes.index(r[1]),
+                    self.relation_names.index(r[3])] = 1
+            gt_rels = (adj[edge_index[:, 0], edge_index[:, 1]] if e
+                       else np.zeros((0, n_rel), np.float32))
+        else:
+            # single-label mode: class 0 = 'none' (kept in relation_names);
+            # last annotation wins as in the reference adj_matrix
+            adj = np.zeros((n, n), np.int64)
+            for r in ann.relationships:
+                if r[0] not in nodes or r[1] not in nodes:
+                    continue
+                adj[nodes.index(r[0]), nodes.index(r[1])] = \
+                    self.relation_names.index(r[3])
+            labels = adj[edge_index[:, 0], edge_index[:, 1]] if e else np.zeros(0, np.int64)
+            gt_rels = np.zeros((e, n_rel), np.float32)
+            if e:
+                gt_rels[np.arange(e), labels] = 1
 
         out = dict(
             obj_points=obj_points, descriptor=descriptor, obj_2d_feats=obj_2d,
@@ -263,9 +279,13 @@ class SceneLoader:
             if self.drop_last and len(idxs) < self.batch_size:
                 break
             prepared = []
+            rel_start = 0 if self.scenes.multi_rel else 1  # skip 'none' col
             for i in idxs:
                 s = self.scenes.prepare(int(i), rng)
-                while self.for_train and (len(s["edge_index"]) == 0 or s["gt_rels"].sum() == 0):
+                while self.for_train and (
+                    len(s["edge_index"]) == 0
+                    or s["gt_rels"][:, rel_start:].sum() == 0
+                ):
                     s = self.scenes.prepare(int(rng.randint(len(self.scenes))), rng)
                 prepared.append(s)
             n_max = max(p["obj_points"].shape[0] for p in prepared)

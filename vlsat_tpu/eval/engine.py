@@ -44,7 +44,13 @@ def evaluate(
     with_scores: bool = False,
     verbose: bool = True,
     total: Optional[int] = None,
+    multi_rel: bool = True,
 ) -> Dict[str, float]:
+    """``multi_rel=False`` evaluates the single-label mode: heads emit
+    log-probs over [none]+classes; predicate ranks use the raw log-probs
+    (reference process_val passes them as-is), triplet confidences use
+    exp(log-probs) (eva_utils_acc.py:146-147), and 'none' targets count as
+    no-GT edges (get_gt, ":20-22")."""
     acc = {
         k: [] for k in (
             "topk_obj", "topk_obj_2d", "topk_rel", "topk_rel_2d",
@@ -65,6 +71,12 @@ def evaluate(
         obj_mask = np.asarray(batch.obj_mask)
         edge_mask = np.asarray(batch.edge_mask)
         gt_rels = np.asarray(batch.gt_rels)
+        if not multi_rel:
+            gt_rels = gt_rels.copy()
+            gt_rels[..., 0] = 0  # 'none' targets -> no-GT edges
+            out = dict(out,
+                       rel_cls_3d=jax.numpy.exp(out["rel_cls_3d"]),
+                       rel_cls_2d=jax.numpy.exp(out["rel_cls_2d"]))
         gt_class = np.asarray(batch.gt_class)
         edge_index = np.asarray(batch.edge_index)
 

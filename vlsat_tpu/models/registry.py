@@ -37,7 +37,10 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             multi_rel_outputs=mcfg.multi_rel_outputs,
         )
         if name == "Mmgnet":
-            return MMGNet(cfg=cfg, obj_text_features=obj_text_features), losses.vlsat_total_loss
+            from functools import partial
+
+            loss = partial(losses.vlsat_total_loss, multi_rel=mcfg.multi_rel_outputs)
+            return MMGNet(cfg=cfg, obj_text_features=obj_text_features), loss
         return MMGNetSingle(cfg=cfg, obj_text_features=obj_text_features), losses.vlsat_single_loss
     if name == "SGFN":
         cfg = SGFNConfig(

@@ -83,6 +83,30 @@ def weighted_bce(
     return masked_mean(ll, edge_mask)
 
 
+def single_label_rel_weights(gt_rels_onehot: jnp.ndarray, edge_mask: jnp.ndarray,
+                             ignore_none_rel: bool = False) -> jnp.ndarray:
+    """DYNAMIC weights for single-label mode (model.py:377-383): per-class
+    counts of the one-hot targets (class 0 = 'none'), w = 1/(log(c+1)+1)."""
+    m = edge_mask.astype(gt_rels_onehot.dtype)
+    counts = (gt_rels_onehot * m[..., None]).sum(axis=tuple(range(gt_rels_onehot.ndim - 1)))
+    weight = jnp.abs(1.0 / (jnp.log(counts + 1.0) + 1.0))
+    if ignore_none_rel:
+        weight = weight.at[0].set(0.0) * 1e-2
+    return weight
+
+
+def single_label_rel_nll(log_probs: jnp.ndarray, gt_rels_onehot: jnp.ndarray,
+                         weight: Optional[jnp.ndarray], edge_mask: jnp.ndarray) -> jnp.ndarray:
+    """torch F.nll_loss(log_probs, labels, weight) over valid edges —
+    weighted-mean reduction (sum w_y*nll / sum w_y), matching torch."""
+    nll = -(gt_rels_onehot * log_probs).sum(-1)
+    m = edge_mask.astype(log_probs.dtype)
+    if weight is not None:
+        w_y = (gt_rels_onehot * weight).sum(-1)
+        return (nll * w_y * m).sum() / jnp.maximum((w_y * m).sum(), 1e-12)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
 def cosine_mimic_loss(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray,
                       t: float = 0.8) -> jnp.ndarray:
     """clamp(t - cos(a, b), min=0).mean() (model.py:257-258, 408-410)."""
@@ -106,6 +130,7 @@ def vlsat_total_loss(
     lambda_o: float = 0.1,
     ignore_none_rel: bool = False,
     none_ratio: float = 1.0,
+    multi_rel: bool = True,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     lambda_r = 1.0
     lam_max = max(lambda_r, lambda_o)
@@ -114,10 +139,19 @@ def vlsat_total_loss(
     loss_obj_3d = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
     loss_obj_2d = cross_entropy(outputs["obj_logits_2d"], batch.gt_class, batch.obj_mask)
 
-    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
-                            ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
-    loss_rel_3d = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
-    loss_rel_2d = weighted_bce(outputs["rel_cls_2d"], batch.gt_rels, w, batch.edge_mask)
+    if multi_rel:
+        w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
+                                ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
+        loss_rel_3d = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+        loss_rel_2d = weighted_bce(outputs["rel_cls_2d"], batch.gt_rels, w, batch.edge_mask)
+    else:
+        # single-label mode: heads emit log-probs over [none]+classes
+        w = single_label_rel_weights(batch.gt_rels, batch.edge_mask,
+                                     ignore_none_rel=ignore_none_rel)
+        loss_rel_3d = single_label_rel_nll(outputs["rel_cls_3d"], batch.gt_rels,
+                                           w, batch.edge_mask)
+        loss_rel_2d = single_label_rel_nll(outputs["rel_cls_2d"], batch.gt_rels,
+                                           w, batch.edge_mask)
 
     loss_mimic = cosine_mimic_loss(
         outputs["obj_feature_3d_mimic"], outputs["obj_features_2d_mimic"],

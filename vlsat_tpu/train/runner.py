@@ -189,6 +189,7 @@ class Runner:
                     val_loader(), num_rel_classes=self.num_rel,
                     train_triplet_vocab=self.train_triplet_vocab,
                     total=len(self.valid_scenes),
+                    multi_rel=self.cfg.MODEL.multi_rel_outputs,
                 )
                 eva_res = metrics["mean_recall_50"]
                 self.logger.log(list(metrics.items()), int(self.state.step))
@@ -210,6 +211,7 @@ class Runner:
             train_triplet_vocab=self.train_triplet_vocab,
             save_dir=save_dir, with_scores=with_scores,
             total=len(self.valid_scenes),
+            multi_rel=self.cfg.MODEL.multi_rel_outputs,
         )
         for k, v in metrics.items():
             print(f"Eval: {k}: {v}")
