@@ -3,11 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload: full dual-branch MMG-Net (160 obj / 26 rel classes, 128 points
-per instance) evaluating batches of 8 synthetic 3DSSG-like scenes padded to
-the 16-node bucket (240 directed edges/scene) — the shape profile of the
-3DSSG validation split.  ``vs_baseline`` compares against the PyTorch-CPU
-equivalent measured by tools/bench_torch_baseline.py (stored in
-bench_baseline.json).
+per instance) evaluating batches of 32 synthetic 3DSSG-like scenes padded
+to the 16-node bucket (240 directed edges/scene) — the shape profile of
+the 3DSSG validation split.  ``vs_baseline`` compares against the
+PyTorch-CPU equivalent on the SAME 32-scene workload
+(tools/bench_torch_baseline.py -> bench_baseline.json).
 """
 
 from __future__ import annotations
@@ -44,12 +44,15 @@ def main():
     out = eval_step(params, batch_stats, batch)
     jax.block_until_ready(out)
 
+    from vlsat_tpu.utils.profiling import trace
+
     iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_step(params, batch_stats, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    with trace():  # set VLSAT_PROFILE_DIR to capture a kernel timeline
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = eval_step(params, batch_stats, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
     scenes_per_sec = batch_scenes * iters / dt
 
     baseline = None

@@ -49,13 +49,19 @@ def test_sgpn():
     b = batch7()
     rng = np.random.RandomState(0)
     rel_points = jnp.asarray(rng.randn(2, b.num_edges, 32, 4).astype(np.float32))
+    b = b.replace(rel_points=rel_points)
     model = SGPN(cfg=SGPNConfig(num_obj_classes=20, num_rel_classes=7))
     v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-                   b, rel_points, istrain=True)
-    out = model.apply(v, b, rel_points, istrain=False)
+                   b, istrain=True)
+    out = model.apply(v, b, istrain=False)
     assert out["rel_cls_3d"].shape == (2, b.num_edges, 7)
     loss, _ = sgpn_loss(out, b)
     assert np.isfinite(float(loss))
+    # missing rel_points -> clear error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   b.replace(rel_points=None), istrain=True)
 
 
 def test_registry():

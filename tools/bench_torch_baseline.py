@@ -172,7 +172,7 @@ def main():
     torch.manual_seed(0)
     torch.set_num_threads(os.cpu_count() or 8)
     rng = np.random.RandomState(0)
-    node_counts = (9, 11, 12, 13, 14, 15, 16, 10)  # same as bench.py
+    node_counts = (9, 11, 12, 13, 14, 15, 16, 10) * 4  # same as bench.py
 
     # build one concatenated batch, reference collate style
     pts_l, desc_l, ei_l, bid_l = [], [], [], []

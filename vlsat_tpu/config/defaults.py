@@ -10,7 +10,8 @@ by config-relative entries.
 
 DEFAULT_CONFIG = {
     "NAME": "Mmgnet",
-    "_NAME": ["SGFN", "Mmgnet", "MmgnetSingle", "SGPN", "SGGpoint", "MMteacher"],
+    "_NAME": ["SGFN", "Mmgnet", "MmgnetSingle", "SGPN", "SGGpoint",
+              "SGGpointBaseline", "MMteacher", "MmgnetIn21k"],
     "PATH": "./output",
     "SEED": 2020,
     "MAX_EPOCHES": 100,

@@ -61,6 +61,7 @@ class SSGScenes:
         triplet_text_lookup=None,
         use_native: bool = True,
         all_edges: bool = True,
+        use_data_augmentation: bool = False,
     ):
         self.scans_root = scans_root
         self.label_file = label_file
@@ -73,6 +74,7 @@ class SSGScenes:
         self.multi_rel = multi_rel
         self.triplet_text_lookup = triplet_text_lookup
         self.all_edges = all_edges
+        self.use_data_augmentation = use_data_augmentation
 
         data = load_relationship_json(root, split)
         self.index: DatasetIndex = build_index(root, split, data=data,
@@ -135,6 +137,12 @@ class SSGScenes:
         ann = self.index.scenes[i]
         mesh = self._load_mesh(ann.scan)
         points, instances = mesh["points"], mesh["instances"]
+        if self.use_data_augmentation:
+            # random z-rotation of the whole scene (the reference defines
+            # but never calls its data_augmentation; here the flag works)
+            from vlsat_tpu.data.augment import random_z_rotation
+
+            points = random_z_rotation(points, rng)
 
         present = set(np.unique(instances).tolist())
         present.discard(0)  # background
@@ -296,6 +304,7 @@ class SceneLoader:
                     p["obj_points"], p["descriptor"], p["obj_2d_feats"], p["gt_class"],
                     p["edge_index"], p["gt_rels"], n_max=bucket,
                     rel_text_feat=p.get("rel_text_feat"),
+                    rel_points=p.get("rel_points"),
                     feat_dim=self.scenes.feat_dim,
                 )
                 for p in prepared

@@ -93,12 +93,17 @@ def evaluate(
                 assemble_predicate_topk(pr2[s, :ev], png2[s, :ev], gt_rels[s, :ev]))
 
             if ev:
+                # full padded shapes: compilations stay bounded by the
+                # bucket count, not by distinct valid-node counts; padded
+                # rows are sliced away below
                 tr3, tng3 = triplet_rank_parts(
-                    out["obj_logits_3d"][s, :nv], batch.gt_class[s, :nv],
-                    out["rel_cls_3d"][s, :ev], batch.edge_index[s, :ev], topk=101)
+                    out["obj_logits_3d"][s], batch.gt_class[s],
+                    out["rel_cls_3d"][s], batch.edge_index[s], topk=101)
                 tr2, tng2 = triplet_rank_parts(
-                    out["obj_logits_2d"][s, :nv], batch.gt_class[s, :nv],
-                    out["rel_cls_2d"][s, :ev], batch.edge_index[s, :ev], topk=101)
+                    out["obj_logits_2d"][s], batch.gt_class[s],
+                    out["rel_cls_2d"][s], batch.edge_index[s], topk=101)
+                tr3, tng3 = tr3[:ev], tng3[:ev]
+                tr2, tng2 = tr2[:ev], tng2[:ev]
                 ei = edge_index[s, :ev]
                 sub_cls = gt_class[s][ei[:, 0]]
                 obj_cls = gt_class[s][ei[:, 1]]

@@ -200,18 +200,21 @@ class SGPNConfig:
 
 
 class SGPN(nn.Module):
-    """Union-point-cloud baseline; needs batch extras: rel_points (B,E,P,4)."""
+    """Union-point-cloud baseline: consumes ``batch.rel_points`` (B,E,P,4),
+    produced by the dataset with ``with_union_points=True``."""
 
     cfg: SGPNConfig = SGPNConfig()
 
     @nn.compact
-    def __call__(self, batch: SceneBatch, rel_points: jnp.ndarray, *,
-                 istrain: bool = False,
+    def __call__(self, batch: SceneBatch, *, istrain: bool = False,
                  deterministic: Optional[bool] = None) -> Dict[str, Any]:
         cfg = self.cfg
         det = (not istrain) if deterministic is None else deterministic
+        if batch.rel_points is None:
+            raise ValueError(
+                "SGPN needs batch.rel_points — enable dataset.with_union_points")
         f = PointNetEncoder(cfg.point_feature_size, name="obj_encoder")(batch.obj_points)
-        e = PointNetEncoder(cfg.edge_feature_size, name="rel_encoder")(rel_points)
+        e = PointNetEncoder(cfg.edge_feature_size, name="rel_encoder")(batch.rel_points)
         obj_logits = ObjClsHead(cfg.num_obj_classes, name="obj_predictor")(f, deterministic=det)
         rel_cls = RelPredictor(cfg.num_rel_classes, multi_label=cfg.multi_rel_outputs,
                                name="rel_predictor")(e, deterministic=det)

@@ -59,11 +59,16 @@ def visible_instances_per_frame(
     """frame index -> instance ids visible with >= min_pixels assigned
     pixels (subsampled by ``stride`` for tractability)."""
     out: Dict[int, List[int]] = {}
+    # subsampling the depth map rescales pixel coordinates by `stride`, so
+    # the intrinsic's focal lengths and principal point shrink with it
+    k_sub = np.asarray(intrinsic[:3, :3], np.float32).copy()
+    k_sub[0, :] /= stride
+    k_sub[1, :] /= stride
     for f, (d, pose) in enumerate(zip(depths, poses)):
         ds = d[::stride, ::stride]
         world = np.asarray(backproject_depth(
             jnp.asarray(ds, jnp.float32),
-            jnp.asarray(intrinsic[:3, :3], jnp.float32),
+            jnp.asarray(k_sub, jnp.float32),
             jnp.asarray(pose, jnp.float32)))
         valid = ds.reshape(-1) > 0
         inst = nearest_instance(world[valid], labeled_pts, labels, max_dist)

@@ -91,6 +91,9 @@ class SceneBatch:
     edge_mask: jax.Array
     gt_rels: jax.Array
     rel_text_feat: Optional[jax.Array] = None
+    # per-edge union point clouds (B, E, P_u, 4) — only the SGPN-style
+    # configs consume these (dataset with_union_points=True)
+    rel_points: Optional[jax.Array] = None
 
     @property
     def num_scenes(self) -> int:
@@ -123,6 +126,7 @@ def pad_scene(
     gt_rels: np.ndarray,
     n_max: int,
     rel_text_feat: Optional[np.ndarray] = None,
+    rel_points: Optional[np.ndarray] = None,
     feat_dim: int = 512,
 ) -> dict:
     """Pad a single scene's arrays to (n_max, ...) / (edge_count(n_max), ...)."""
@@ -154,6 +158,10 @@ def pad_scene(
         buf = np.zeros((e_max, rel_text_feat.shape[-1]), np.float32)
         buf[:e] = rel_text_feat
         out["rel_text_feat"] = buf
+    if rel_points is not None:
+        buf = np.zeros((e_max, *rel_points.shape[1:]), np.float32)
+        buf[:e] = rel_points
+        out["rel_points"] = buf
     return out
 
 
@@ -163,6 +171,7 @@ def collate(scenes: Sequence[dict], with_text: bool = False) -> SceneBatch:
     rel_text = None
     if with_text and "rel_text_feat" in scenes[0]:
         rel_text = stack("rel_text_feat")
+    rel_points = stack("rel_points") if "rel_points" in scenes[0] else None
     return SceneBatch(
         obj_points=stack("obj_points"),
         obj_mask=stack("obj_mask"),
@@ -173,4 +182,5 @@ def collate(scenes: Sequence[dict], with_text: bool = False) -> SceneBatch:
         edge_mask=stack("edge_mask"),
         gt_rels=stack("gt_rels"),
         rel_text_feat=rel_text,
+        rel_points=rel_points,
     )

@@ -107,6 +107,36 @@ def single_label_rel_nll(log_probs: jnp.ndarray, gt_rels_onehot: jnp.ndarray,
     return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
 
 
+def resolve_rel_weights(
+    mode: str,
+    gt_rels: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    multi_rel: bool = True,
+    w_bg: float = 1.0,
+    none_ratio: float = 1.0,
+    ignore_none_rel: bool = False,
+    weights_rel: Optional[jnp.ndarray] = None,
+):
+    """WEIGHT_EDGE dispatch (model.py:348-372): DYNAMIC per-batch counts,
+    BG foreground/background mix, OCCU dataset occurrence weights, NONE."""
+    if mode == "DYNAMIC":
+        if multi_rel:
+            return dynamic_rel_weights(gt_rels, edge_mask,
+                                       ignore_none_rel=ignore_none_rel,
+                                       none_ratio=none_ratio)
+        return single_label_rel_weights(gt_rels, edge_mask,
+                                        ignore_none_rel=ignore_none_rel)
+    if mode == "BG":
+        if not multi_rel:
+            raise NotImplementedError("BG weighting is multi-label only")
+        return w_bg * (1.0 - gt_rels) + (1.0 - w_bg) * gt_rels if w_bg != 0 else None
+    if mode == "OCCU":
+        return weights_rel
+    if mode == "NONE":
+        return None
+    raise NotImplementedError(f"unknown WEIGHT_EDGE {mode!r}")
+
+
 def cosine_mimic_loss(a: jnp.ndarray, b: jnp.ndarray, mask: jnp.ndarray,
                       t: float = 0.8) -> jnp.ndarray:
     """clamp(t - cos(a, b), min=0).mean() (model.py:257-258, 408-410)."""
@@ -131,6 +161,9 @@ def vlsat_total_loss(
     ignore_none_rel: bool = False,
     none_ratio: float = 1.0,
     multi_rel: bool = True,
+    weight_mode: str = "DYNAMIC",
+    w_bg: float = 1.0,
+    weights_rel: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     lambda_r = 1.0
     lam_max = max(lambda_r, lambda_o)
@@ -139,15 +172,14 @@ def vlsat_total_loss(
     loss_obj_3d = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
     loss_obj_2d = cross_entropy(outputs["obj_logits_2d"], batch.gt_class, batch.obj_mask)
 
+    w = resolve_rel_weights(weight_mode, batch.gt_rels, batch.edge_mask,
+                            multi_rel=multi_rel, w_bg=w_bg, none_ratio=none_ratio,
+                            ignore_none_rel=ignore_none_rel, weights_rel=weights_rel)
     if multi_rel:
-        w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
-                                ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
         loss_rel_3d = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
         loss_rel_2d = weighted_bce(outputs["rel_cls_2d"], batch.gt_rels, w, batch.edge_mask)
     else:
         # single-label mode: heads emit log-probs over [none]+classes
-        w = single_label_rel_weights(batch.gt_rels, batch.edge_mask,
-                                     ignore_none_rel=ignore_none_rel)
         loss_rel_3d = single_label_rel_nll(outputs["rel_cls_3d"], batch.gt_rels,
                                            w, batch.edge_mask)
         loss_rel_2d = single_label_rel_nll(outputs["rel_cls_2d"], batch.gt_rels,
@@ -181,6 +213,8 @@ def vlsat_total_loss(
 def vlsat_single_loss(
     outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
     ignore_none_rel: bool = False, none_ratio: float = 1.0,
+    weight_mode: str = "DYNAMIC", w_bg: float = 1.0,
+    weights_rel: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """3D-only variant: lambda_o*obj + 3*rel + 0.1*rel_mimic_3d
     (model_single.py:356-373)."""
@@ -188,8 +222,9 @@ def vlsat_single_loss(
     lam = max(lambda_r, lambda_o)
     lambda_r, lambda_o = lambda_r / lam, lambda_o / lam
     loss_obj = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
-    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask,
-                            ignore_none_rel=ignore_none_rel, none_ratio=none_ratio)
+    w = resolve_rel_weights(weight_mode, batch.gt_rels, batch.edge_mask,
+                            w_bg=w_bg, none_ratio=none_ratio,
+                            ignore_none_rel=ignore_none_rel, weights_rel=weights_rel)
     loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
     if batch.rel_text_feat is not None:
         mimic = rel_mimic_l1(outputs["edge_feature_3d_dis"], batch.rel_text_feat,
@@ -203,6 +238,8 @@ def vlsat_single_loss(
 
 def sgfn_loss(
     outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
+    weight_mode: str = "DYNAMIC", w_bg: float = 1.0, none_ratio: float = 1.0,
+    weights_rel: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """SGFN baseline: lambda_o*obj + lambda_r*rel (baseline_sgfn.py:131-194).
     The object head emits log-probs; CE over log-probs == NLL."""
@@ -212,7 +249,9 @@ def sgfn_loss(
     logp = outputs["obj_logits_3d"]
     nll = -jnp.take_along_axis(logp, batch.gt_class[..., None], axis=-1)[..., 0]
     loss_obj = masked_mean(nll, batch.obj_mask)
-    w = dynamic_rel_weights(batch.gt_rels, batch.edge_mask)
+    w = resolve_rel_weights(weight_mode, batch.gt_rels, batch.edge_mask,
+                            w_bg=w_bg, none_ratio=none_ratio,
+                            weights_rel=weights_rel)
     loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
     total = lambda_o * loss_obj + lambda_r * loss_rel
     return total, dict(loss=total, obj_loss=loss_obj, rel_loss=loss_rel)

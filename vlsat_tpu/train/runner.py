@@ -63,13 +63,17 @@ class Runner:
             num_points_union=d.num_points_union,
             multi_view_root=d.multi_view_root,
             cache_root=d.cache_root,
-            with_union_points=d.with_union_points,
+            # SGPN consumes per-edge union point clouds
+            with_union_points=d.with_union_points or cfg.NAME == "SGPN",
             feat_dim=cfg.MODEL.clip_feat_dim,
             multi_rel=cfg.MODEL.multi_rel_outputs,
         )
         self.train_scenes = None
         if self.mode == "train":
-            self.train_scenes = SSGScenes(split="train_scans", **common)
+            self.train_scenes = SSGScenes(
+                split="train_scans",
+                use_data_augmentation=d.get("use_data_augmentation", False),
+                **common)
         self.valid_scenes = SSGScenes(split="validation_scans", **common)
 
         num_obj = len(self.valid_scenes.class_names)
@@ -153,11 +157,20 @@ class Runner:
                 print(f"warning: no pretrain checkpoint at {self.use_pretrain}")
         import inspect
 
-        lam = cfg.MODEL.lambda_o
-        if "lambda_o" in inspect.signature(self.loss_fn).parameters:
-            objective = lambda outputs, batch: self.loss_fn(outputs, batch, lambda_o=lam)
-        else:
-            objective = lambda outputs, batch: self.loss_fn(outputs, batch)
+        import jax.numpy as jnp
+
+        m = cfg.MODEL
+        supported = inspect.signature(self.loss_fn).parameters
+        loss_kw = {
+            k: v for k, v in dict(
+                lambda_o=m.lambda_o,
+                weight_mode=m.get("WEIGHT_EDGE", "DYNAMIC"),
+                w_bg=m.get("w_bg", 1.0),
+                none_ratio=m.get("NONE_RATIO", 1.0),
+                weights_rel=jnp.asarray(self.train_scenes.w_cls_rel),
+            ).items() if k in supported
+        }
+        objective = lambda outputs, batch: self.loss_fn(outputs, batch, **loss_kw)
         step_fn = make_train_step(self.model, self.optimizer, objective=objective)
         eval_fn = make_eval_step(self.model)
         rng = jax.random.PRNGKey(cfg.SEED + 7)
