@@ -132,6 +132,29 @@ def build_neighbor_graph(points: np.ndarray, segments: np.ndarray,
     return nbrs
 
 
+def same_part_relationships(
+    seg_to_gt: Dict[int, int], rel_index: int = 0, rel_name: str = "same part",
+    target_segments: Optional[Sequence[int]] = None,
+) -> List[list]:
+    """ScanNet-style 'same part' relations (gen_data_scannet.py:286-300):
+    every ordered pair of predicted segments mapping to the same GT
+    instance, both directions."""
+    by_gt: Dict[int, List[int]] = {}
+    for seg, gt in seg_to_gt.items():
+        if target_segments is not None and seg not in target_segments:
+            continue
+        by_gt.setdefault(gt, []).append(seg)
+    rels: List[list] = []
+    for group in by_gt.values():
+        if len(group) <= 1:
+            continue
+        for i in range(len(group)):
+            for j in range(i + 1, len(group)):
+                rels.append([int(group[i]), int(group[j]), rel_index, rel_name])
+                rels.append([int(group[j]), int(group[i]), rel_index, rel_name])
+    return rels
+
+
 def train_valid_split(scan_ids: Sequence[str], valid_fraction: float = 0.1,
                       seed: int = 2020) -> Tuple[List[str], List[str]]:
     """90/10 split (data_processing/generate_train_valid_test_splits.py)."""

@@ -68,11 +68,29 @@ class Runner:
             feat_dim=cfg.MODEL.clip_feat_dim,
             multi_rel=cfg.MODEL.multi_rel_outputs,
         )
+        # Precomputed CLIP triplet-sentence cache feeds the rel-mimic loss.
+        # The relation list MUST be the one indexing gt_rels (relationships
+        # minus 'none').  NOTE a reference bug we deliberately do not
+        # replicate: SGFN_MMG/model.py:237 indexes rel_label_path
+        # (relations.txt, alphabetical order) with gt indices from
+        # relationships.txt order, so its mimic sentences name the wrong
+        # predicate for most classes.
+        text_lookup = None
+        if cfg.MODEL.get("triplet_text_cache"):
+            from vlsat_tpu.clipsem import TripletTextCache
+            from vlsat_tpu.data.assets import read_classes, read_relationships
+
+            classes = read_classes(d.root)
+            relations = read_relationships(d.root)[1:]
+            text_lookup = TripletTextCache.load(
+                cfg.MODEL.triplet_text_cache, classes, relations)
+
         self.train_scenes = None
         if self.mode == "train":
             self.train_scenes = SSGScenes(
                 split="train_scans",
                 use_data_augmentation=d.get("use_data_augmentation", False),
+                triplet_text_lookup=text_lookup,
                 **common)
         self.valid_scenes = SSGScenes(split="validation_scans", **common)
 
@@ -167,6 +185,7 @@ class Runner:
                 weight_mode=m.get("WEIGHT_EDGE", "DYNAMIC"),
                 w_bg=m.get("w_bg", 1.0),
                 none_ratio=m.get("NONE_RATIO", 1.0),
+                ignore_none_rel=m.get("ignore_none_rel", False),
                 weights_rel=jnp.asarray(self.train_scenes.w_cls_rel),
             ).items() if k in supported
         }
@@ -177,11 +196,13 @@ class Runner:
 
         start_epoch = 1 + int(self.state.step) // max(len(loader), 1)
         eva_res = -1.0
+        from vlsat_tpu.data.pipeline import Prefetcher
+
         for epoch in range(start_epoch, cfg.MAX_EPOCHES + 1):
             print(f"\nTraining epoch: {epoch}")
             progbar = Progbar(len(loader), width=20,
                               stateful_metrics=["Misc/epo", "Misc/it"])
-            for batch in loader:
+            for batch in Prefetcher(loader):
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 rng, sub = jax.random.split(rng)
