@@ -23,6 +23,7 @@ DEFAULT_CONFIG = {
     "VALID_INTERVAL": 10,
     "LOG_INTERVAL": 100,
     "Batch_Size": 8,
+    "EVAL_BATCH_SIZE": 1,
     "EVAL": False,
     "VERBOSE": False,
     "exp": "default",

@@ -232,10 +232,15 @@ class Runner:
                 break
 
     # ------------------------------------------------------------------- eval
-    def validation(self, save: bool = False, with_scores: bool = False) -> dict:
+    def validation(self, save: bool = False, with_scores: bool = False,
+                   batch_size: Optional[int] = None) -> dict:
+        """Reference protocol is batch_size=1 (model.py:186); larger batches
+        give identical metrics (masks keep scenes independent) at much
+        higher throughput — set EVAL_BATCH_SIZE in the config."""
         assert self.state is not None, "call load() first"
         eval_fn = make_eval_step(self.model)
-        loader = SceneLoader(self.valid_scenes, batch_size=1, shuffle=False,
+        bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
+        loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
                              buckets=self.cfg.dataset.node_buckets)
         save_dir = os.path.join(self.cfg.PATH, "results", self.cfg.NAME,
                                 self.cfg.get("exp", "default")) if save else None
