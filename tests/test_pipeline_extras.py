@@ -65,3 +65,17 @@ def test_runner_triplet_cache_wiring(tmp_path):
     valid = np.asarray(loader_batch.edge_mask)
     np.testing.assert_allclose(norms[valid], 1.0, rtol=1e-4)
     r.train()  # one epoch with the rel-mimic target active
+
+
+def test_prefetcher_early_exit_no_leak():
+    import threading
+    from vlsat_tpu.data.pipeline import Prefetcher
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(Prefetcher(range(1000)))
+        next(it)
+        it.close()  # consumer stops early
+    import time
+    time.sleep(0.3)
+    assert threading.active_count() <= before + 1

@@ -220,9 +220,13 @@ class SSGScenes:
             obj_points=obj_points, descriptor=descriptor, obj_2d_feats=obj_2d,
             gt_class=gt_class, edge_index=edge_index, gt_rels=gt_rels,
         )
-        if self.with_union_points and e:
-            out["rel_points"] = self._union_points(points, instances, nodes, boxes,
-                                                   edge_index, rng)
+        if self.with_union_points:
+            # always emit (zero-sized for edge-less scenes) so batched
+            # collate sees a consistent key set
+            out["rel_points"] = (
+                self._union_points(points, instances, nodes, boxes, edge_index, rng)
+                if e else np.zeros((0, self.num_points_union, 4), np.float32)
+            )
         if self.triplet_text_lookup is not None:
             out["rel_text_feat"] = self.triplet_text_lookup(
                 gt_class, gt_rels, edge_index

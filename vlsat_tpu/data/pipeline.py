@@ -27,26 +27,47 @@ class Prefetcher:
 
     def __iter__(self) -> Iterator[T]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         err: list[BaseException] = []
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in self._iterable:
-                    q.put(item)
+                    if not put(item):
+                        return  # consumer stopped early
             except BaseException as e:  # propagate into the consumer
                 err.append(e)
             finally:
-                q.put(_SENTINEL)
+                put(_SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # unblock and retire the worker if the consumer exits early
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=1.0)
 
     def __len__(self):
         return len(self._iterable)  # type: ignore[arg-type]

@@ -36,12 +36,13 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             adapter_alpha=mcfg.adapter_alpha,
             multi_rel_outputs=mcfg.multi_rel_outputs,
         )
-        if name == "Mmgnet":
-            from functools import partial
+        from functools import partial
 
+        if name == "Mmgnet":
             loss = partial(losses.vlsat_total_loss, multi_rel=mcfg.multi_rel_outputs)
             return MMGNet(cfg=cfg, obj_text_features=obj_text_features), loss
-        return MMGNetSingle(cfg=cfg, obj_text_features=obj_text_features), losses.vlsat_single_loss
+        loss = partial(losses.vlsat_single_loss, multi_rel=mcfg.multi_rel_outputs)
+        return MMGNetSingle(cfg=cfg, obj_text_features=obj_text_features), loss
     if name == "SGFN":
         cfg = SGFNConfig(
             num_obj_classes=num_obj, num_rel_classes=num_rel,
@@ -52,7 +53,10 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             use_gcn_edge=mcfg.USE_GCN_EDGE,
             multi_rel_outputs=mcfg.multi_rel_outputs,
         )
-        return SGFN(cfg=cfg), losses.sgfn_loss
+        from functools import partial
+
+        return SGFN(cfg=cfg), partial(losses.sgfn_loss,
+                                      multi_rel=mcfg.multi_rel_outputs)
     if name == "SGPN":
         cfg = SGPNConfig(
             num_obj_classes=num_obj, num_rel_classes=num_rel,
@@ -85,7 +89,10 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             multi_rel_outputs=mcfg.multi_rel_outputs,
             cosine_classifier=False, use_adapter=False, use_mlp_3d=False,
         )
-        return MMGNet(cfg=cfg), losses.vlsat_total_loss
+        from functools import partial
+
+        loss = partial(losses.vlsat_total_loss, multi_rel=mcfg.multi_rel_outputs)
+        return MMGNet(cfg=cfg), loss
     if name == "SGGpoint":
         from vlsat_tpu.models.sggpoint import SGGpoint, SGGpointConfig, sggpoint_loss
 

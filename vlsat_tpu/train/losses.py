@@ -214,7 +214,7 @@ def vlsat_single_loss(
     outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
     ignore_none_rel: bool = False, none_ratio: float = 1.0,
     weight_mode: str = "DYNAMIC", w_bg: float = 1.0,
-    weights_rel: Optional[jnp.ndarray] = None,
+    weights_rel: Optional[jnp.ndarray] = None, multi_rel: bool = True,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """3D-only variant: lambda_o*obj + 3*rel + 0.1*rel_mimic_3d
     (model_single.py:356-373)."""
@@ -223,9 +223,13 @@ def vlsat_single_loss(
     lambda_r, lambda_o = lambda_r / lam, lambda_o / lam
     loss_obj = cross_entropy(outputs["obj_logits_3d"], batch.gt_class, batch.obj_mask)
     w = resolve_rel_weights(weight_mode, batch.gt_rels, batch.edge_mask,
-                            w_bg=w_bg, none_ratio=none_ratio,
+                            multi_rel=multi_rel, w_bg=w_bg, none_ratio=none_ratio,
                             ignore_none_rel=ignore_none_rel, weights_rel=weights_rel)
-    loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    if multi_rel:
+        loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    else:
+        loss_rel = single_label_rel_nll(outputs["rel_cls_3d"], batch.gt_rels,
+                                        w, batch.edge_mask)
     if batch.rel_text_feat is not None:
         mimic = rel_mimic_l1(outputs["edge_feature_3d_dis"], batch.rel_text_feat,
                              batch.edge_mask)
@@ -239,7 +243,7 @@ def vlsat_single_loss(
 def sgfn_loss(
     outputs: Dict[str, jnp.ndarray], batch: SceneBatch, lambda_o: float = 0.1,
     weight_mode: str = "DYNAMIC", w_bg: float = 1.0, none_ratio: float = 1.0,
-    weights_rel: Optional[jnp.ndarray] = None,
+    weights_rel: Optional[jnp.ndarray] = None, multi_rel: bool = True,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """SGFN baseline: lambda_o*obj + lambda_r*rel (baseline_sgfn.py:131-194).
     The object head emits log-probs; CE over log-probs == NLL."""
@@ -250,9 +254,13 @@ def sgfn_loss(
     nll = -jnp.take_along_axis(logp, batch.gt_class[..., None], axis=-1)[..., 0]
     loss_obj = masked_mean(nll, batch.obj_mask)
     w = resolve_rel_weights(weight_mode, batch.gt_rels, batch.edge_mask,
-                            w_bg=w_bg, none_ratio=none_ratio,
+                            multi_rel=multi_rel, w_bg=w_bg, none_ratio=none_ratio,
                             weights_rel=weights_rel)
-    loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    if multi_rel:
+        loss_rel = weighted_bce(outputs["rel_cls_3d"], batch.gt_rels, w, batch.edge_mask)
+    else:
+        loss_rel = single_label_rel_nll(outputs["rel_cls_3d"], batch.gt_rels,
+                                        w, batch.edge_mask)
     total = lambda_o * loss_obj + lambda_r * loss_rel
     return total, dict(loss=total, obj_loss=loss_obj, rel_loss=loss_rel)
 

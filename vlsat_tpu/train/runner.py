@@ -76,7 +76,9 @@ class Runner:
         # relationships.txt order, so its mimic sentences name the wrong
         # predicate for most classes.
         text_lookup = None
-        if cfg.MODEL.get("triplet_text_cache"):
+        # rel-mimic (and hence the text cache) exists only for multi-label
+        # mode — the reference's get_rel_emb asserts 2-D multi-hot targets
+        if cfg.MODEL.get("triplet_text_cache") and cfg.MODEL.multi_rel_outputs:
             from vlsat_tpu.clipsem import TripletTextCache
             from vlsat_tpu.data.assets import read_classes, read_relationships
 
@@ -158,8 +160,9 @@ class Runner:
             seed=cfg.SEED, drop_last=True, for_train=True,
             buckets=cfg.dataset.node_buckets,
         )
-        val_loader = lambda: SceneLoader(self.valid_scenes, batch_size=1, shuffle=False,
-                                         buckets=cfg.dataset.node_buckets)
+        val_loader = lambda: SceneLoader(
+            self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
+            shuffle=False, buckets=cfg.dataset.node_buckets)
         if self.state is None:
             first = next(iter(loader))
             self.state = self._init_state(first)
