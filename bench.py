@@ -8,6 +8,14 @@ to the 16-node bucket (240 directed edges/scene) — the shape profile of
 the 3DSSG validation split.  ``vs_baseline`` compares against the
 PyTorch-CPU equivalent on the SAME 32-scene workload
 (tools/bench_torch_baseline.py -> bench_baseline.json).
+
+Measurement method: N eval iterations inside ONE jitted lax.scan whose
+body depends on the loop carry (defeating loop-invariant hoisting), timed
+across two N values with a host fetch forcing full synchronization —
+per-iteration time is the slope.  A naive python dispatch loop measures
+the host/tunnel enqueue rate instead of device throughput on remote-TPU
+setups (block_until_ready can acknowledge before execution completes), and
+without the carry dependence XLA hoists the whole body out of the loop.
 """
 
 from __future__ import annotations
@@ -15,14 +23,16 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from vlsat_tpu.data.synthetic import make_batch
     from vlsat_tpu.models import MMGNet, MMGNetConfig
-    from vlsat_tpu.train.step import make_eval_step
 
     node_counts = (9, 11, 12, 13, 14, 15, 16, 10) * 4
     batch_scenes = len(node_counts)
@@ -38,22 +48,32 @@ def main():
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    eval_step = make_eval_step(model)
 
-    # warmup / compile
-    out = eval_step(params, batch_stats, batch)
-    jax.block_until_ready(out)
+    @partial(jax.jit, static_argnames=("n",))
+    def eval_many(params, batch_stats, batch, n):
+        def body(carry, _):
+            perturbed = batch.replace(obj_points=batch.obj_points + carry * 1e-30)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              perturbed, istrain=False)
+            return carry + out["obj_logits_3d"].sum() * 1e-30, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return acc
 
     from vlsat_tpu.utils.profiling import trace
 
-    iters = 30
-    with trace():  # set VLSAT_PROFILE_DIR to capture a kernel timeline
+    def timed(n):
+        float(np.asarray(eval_many(params, batch_stats, batch, n)))  # compile+warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = eval_step(params, batch_stats, batch)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-    scenes_per_sec = batch_scenes * iters / dt
+        float(np.asarray(eval_many(params, batch_stats, batch, n)))  # full sync
+        return time.perf_counter() - t0
+
+    with trace():  # set VLSAT_PROFILE_DIR to capture a kernel timeline
+        n_lo, n_hi = 8, 40
+        t_lo = timed(n_lo)
+        t_hi = timed(n_hi)
+    per_batch = (t_hi - t_lo) / (n_hi - n_lo)
+    scenes_per_sec = batch_scenes / per_batch
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")

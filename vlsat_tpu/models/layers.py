@@ -111,10 +111,10 @@ class PointNetEncoder(nn.Module):
 
     out_size: int
     hidden: Sequence[int] = (64, 128)
-    # Route through the Pallas fused kernel (inference).  Wins ~2.3x over
-    # XLA once the node count is large (>= ~2k nodes: the (M, P, 768)
-    # intermediate stops fitting cache); at the 3DSSG eval scale (hundreds
-    # of nodes) XLA's fusion is already optimal, so this stays opt-in.
+    # Route through the Pallas fused kernel (inference).  Bit-exact vs the
+    # XLA path, but device-true measurement (PERFORMANCE.md) shows XLA's
+    # own fusion is currently ~3x faster at every tested size — keep this
+    # opt-in as a base for future kernel work, not a default.
     fused: bool = False
 
     @nn.compact
