@@ -42,3 +42,20 @@ def test_fused_module_path():
         np.asarray(out_fused["obj_logits_3d"]),
         np.asarray(out_ref["obj_logits_3d"]), rtol=1e-4, atol=1e-4,
     )
+
+
+def test_fused_v2_matches_reference():
+    from vlsat_tpu.ops.pallas.pointnet_kernel import pointnet_encode_fused_v2
+
+    rng = np.random.RandomState(1)
+    M, P, C, OUT = 10, 32, 3, 64
+    pts = jnp.asarray(rng.randn(M, P, C).astype(np.float32))
+    ws = [jnp.asarray(rng.randn(C, 16).astype(np.float32)),
+          jnp.asarray(rng.randn(16, 32).astype(np.float32)),
+          jnp.asarray(rng.randn(32, OUT).astype(np.float32))]
+    bs = [jnp.asarray(rng.randn(16).astype(np.float32)),
+          jnp.asarray(rng.randn(32).astype(np.float32)),
+          jnp.asarray(rng.randn(OUT).astype(np.float32))]
+    ref = np.asarray(pointnet_encode(pts, ws, bs))
+    out = np.asarray(pointnet_encode_fused_v2(pts, ws, bs, block_m=4, p_chunk=8))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
