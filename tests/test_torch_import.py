@@ -163,3 +163,41 @@ def test_full_mmgnet_import_structure():
         batch, istrain=False,
     )
     assert np.isfinite(np.asarray(out["rel_cls_3d"])).all()
+
+
+def test_gean_split_matches_concat_matmul():
+    """The nn_edge fc0 split (node_i | edge | node_j rows) must reproduce
+    relu(cat([x_i, e, x_j]) @ W + b) @ W1 exactly."""
+    import jax.numpy as jnp
+    from vlsat_tpu.models.gnn import GraphEdgeAttenNetwork
+    from vlsat_tpu.scene import full_edge_index
+
+    rng = np.random.RandomState(0)
+    D, da, H, n = 8, 4, 2, 4
+    hid = 2 * D
+    W = rng.randn(3 * D, hid).astype(np.float32)
+    b0 = rng.randn(hid).astype(np.float32)
+    W1 = rng.randn(hid, D).astype(np.float32)
+    b1 = rng.randn(D).astype(np.float32)
+
+    gean = GraphEdgeAttenNetwork(num_heads=H, dim_node=D, dim_edge=D,
+                                 dim_atten=da, dropout_atten=None)
+    x = jnp.asarray(rng.randn(1, n, D).astype(np.float32))
+    ei = jnp.asarray(full_edge_index(n)[None])
+    em = jnp.ones((1, ei.shape[1]), bool)
+    e = jnp.asarray(rng.randn(1, ei.shape[1], D).astype(np.float32))
+    variables = gean.init(jax.random.PRNGKey(0), x, e, ei, em)
+    p = variables["params"]
+    p["edgeatten_nn_edge_fc0_node_i"]["kernel"] = jnp.asarray(W[:D])
+    p["edgeatten"]["nn_edge_fc0_edge"]["kernel"] = jnp.asarray(W[D:2 * D])
+    p["edgeatten"]["nn_edge_fc0_edge"]["bias"] = jnp.asarray(b0)
+    p["edgeatten_nn_edge_fc0_node_j"]["kernel"] = jnp.asarray(W[2 * D:])
+    p["edgeatten"]["nn_edge_fc1"]["kernel"] = jnp.asarray(W1)
+    p["edgeatten"]["nn_edge_fc1"]["bias"] = jnp.asarray(b1)
+    _, edge_new = gean.apply({"params": p}, x, e, ei, em)
+
+    xi = np.asarray(x[0])[np.asarray(ei[0])[:, 0]]
+    xj = np.asarray(x[0])[np.asarray(ei[0])[:, 1]]
+    cat = np.concatenate([xi, np.asarray(e[0]), xj], -1)
+    want = np.maximum(cat @ W + b0, 0) @ W1 + b1
+    np.testing.assert_allclose(np.asarray(edge_new[0]), want, rtol=2e-4, atol=2e-4)

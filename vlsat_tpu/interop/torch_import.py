@@ -83,19 +83,32 @@ def import_mha(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
 
 
 def import_gean(sd: Mapping[str, np.ndarray], prefix: str,
-                atten_dropout: bool = True) -> Dict[str, Any]:
+                atten_dropout: bool = True, dim_node: int = 512,
+                dim_edge: int = 512) -> Dict[str, Any]:
     """GraphEdgeAttenNetwork -> models.gnn.GraphEdgeAttenNetwork.
 
     Sequential indices: nn_edge = [Linear0, ReLU, Linear2]; prop likewise;
     proj_* = [Linear0]; gate MLP 'nn' = [Conv0, ReLU, (Dropout), Conv_last]
     where Conv_last is index 3 with dropout, 2 without.
+
+    The reference's nn_edge.0 operates on cat([x_i, e, x_j]); our model
+    splits it by linearity into node-level i/j projections (gathered per
+    edge) + an edge projection carrying the bias — the imported (1536,
+    1024) kernel is split row-wise into the three parts.
     """
     gate_last = 3 if atten_dropout else 2
     ea = f"{prefix}.edgeatten"
+    fc0 = _dense(sd, f"{ea}.nn_edge.0")  # kernel (2*dim_node+dim_edge, hid)
+    k = fc0["kernel"]
+    ki = k[:dim_node]
+    ke = k[dim_node:dim_node + dim_edge]
+    kj = k[dim_node + dim_edge:]
     return {
+        "edgeatten_nn_edge_fc0_node_i": {"kernel": ki},
+        "edgeatten_nn_edge_fc0_node_j": {"kernel": kj},
         "edgeatten": {
-            "nn_edge": {"fc0": _dense(sd, f"{ea}.nn_edge.0"),
-                        "fc1": _dense(sd, f"{ea}.nn_edge.2")},
+            "nn_edge_fc0_edge": {"kernel": ke, "bias": fc0["bias"]},
+            "nn_edge_fc1": _dense(sd, f"{ea}.nn_edge.2"),
             "proj_query": {"fc0": _dense(sd, f"{ea}.proj_query.0")},
             "proj_edge": {"fc0": _dense(sd, f"{ea}.proj_edge.0")},
             "proj_value": {"fc0": _dense(sd, f"{ea}.proj_value.0")},

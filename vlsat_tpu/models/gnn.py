@@ -37,16 +37,26 @@ class FatEdgeAttention(nn.Module):
     use_edge: bool = True
 
     @nn.compact
-    def __call__(self, x_i, edge, x_j, *, deterministic: bool = True):
+    def __call__(self, x_i, edge, x_j, *, deterministic: bool = True,
+                 nn_edge_nodes=None):
+        """``nn_edge_nodes``: optional (proj_i, proj_j) — the first nn_edge
+        layer applied at NODE level and gathered by the caller (see
+        GraphEdgeAttenNetwork); falls back to per-edge projection here."""
         h = self.num_heads
         d_n = self.dim_node // h
         d_e = self.dim_edge // h
         d_o = self.dim_atten // h
+        hid = self.dim_node + self.dim_edge
 
-        # edge feature update: MLP([x_i, e, x_j]) (network_MMG.py:87-93)
-        edge_new = DenseStack(
-            [self.dim_node + self.dim_edge, self.dim_edge], name="nn_edge"
-        )(jnp.concatenate([x_i, edge, x_j], axis=-1))
+        # Edge feature update: MLP([x_i, e, x_j]) (network_MMG.py:87-93),
+        # with the concat-then-matmul split by linearity into three
+        # projections — the caller (GraphEdgeAttenNetwork) supplies the
+        # node-side parts, either per edge or gathered from node level.
+        assert nn_edge_nodes is not None, "caller must supply nn_edge node projections"
+        pi, pj = nn_edge_nodes
+        edge_part = nn.Dense(hid, name="nn_edge_fc0_edge")(edge)
+        edge_new = nn.Dense(self.dim_edge, name="nn_edge_fc1")(
+            nn.relu(pi + edge_part + pj))
 
         value = DenseStack([self.dim_atten], name="proj_value")(x_j)
         query = DenseStack([self.dim_node], name="proj_query")(x_i)
@@ -82,12 +92,18 @@ class GraphEdgeAttenNetwork(nn.Module):
     aggr: str = "max"
     dropout_atten: float | None = 0.5
     use_edge: bool = True
+    # Project nodes once and gather (fewer FLOPs) instead of projecting the
+    # gathered copies per edge.  Algebraically identical; measured SLOWER
+    # at 3DSSG edge widths (gathering the 1024-wide projections moves more
+    # HBM bytes than the FLOPs saved) — worthwhile only when nodes carry
+    # far more edges (dense graphs, see PERFORMANCE.md).
+    node_level_nn_edge: bool = False
 
     @nn.compact
     def __call__(self, x, edge_feature, edge_index, edge_mask, *,
                  deterministic: bool = True):
         x_i, x_j = gather_edge_endpoints(x, edge_index)
-        msg, edge_new = FatEdgeAttention(
+        ea = FatEdgeAttention(
             num_heads=self.num_heads,
             dim_node=self.dim_node,
             dim_edge=self.dim_edge,
@@ -95,7 +111,20 @@ class GraphEdgeAttenNetwork(nn.Module):
             dropout_atten=self.dropout_atten,
             use_edge=self.use_edge,
             name="edgeatten",
-        )(x_i, edge_feature, x_j, deterministic=deterministic)
+        )
+        hid = self.dim_node + self.dim_edge
+        # The Dense modules exist in both modes so params are identical.
+        dense_i = nn.Dense(hid, use_bias=False, name="edgeatten_nn_edge_fc0_node_i")
+        dense_j = nn.Dense(hid, use_bias=False, name="edgeatten_nn_edge_fc0_node_j")
+        if self.node_level_nn_edge:
+            pi, pj = gather_edge_endpoints(
+                jnp.concatenate([dense_i(x), dense_j(x)], axis=-1), edge_index)
+            nodes = (pi[..., :hid], pj[..., hid:])
+        else:
+            nodes = (dense_i(x_i), dense_j(x_j))
+        msg, edge_new = ea(
+            x_i, edge_feature, x_j, deterministic=deterministic,
+            nn_edge_nodes=nodes)
         agg = scatter_edges_to_nodes(
             msg, edge_index, edge_mask, num_nodes=x.shape[1], aggr=self.aggr
         )
