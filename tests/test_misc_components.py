@@ -62,3 +62,50 @@ def test_batch_multiplicative_schedule():
     s = batch_multiplicative_schedule(1.0, factor=0.5, batch_size=2, ref_batch_size=1)
     np.testing.assert_allclose(s(0), 1.0)
     np.testing.assert_allclose(s(1), 0.25)
+
+
+def test_triplet_distill_loss():
+    from vlsat_tpu.train.losses import triplet_distill_loss
+    from vlsat_tpu.scene import full_edge_index
+
+    rng = np.random.RandomState(0)
+    n, c, r = 4, 6, 3
+    o3 = rng.randn(1, n, c).astype(np.float32)
+    o2 = rng.randn(1, n, c).astype(np.float32)
+    ei = full_edge_index(n)[None]
+    e_cnt = ei.shape[1]
+    r3 = rng.rand(1, e_cnt, r).astype(np.float32)
+    r2 = rng.rand(1, e_cnt, r).astype(np.float32)
+    mask = np.ones((1, e_cnt), bool)
+    mask[0, -2:] = False
+    got = float(triplet_distill_loss(
+        jnp.asarray(o3), jnp.asarray(r3), jnp.asarray(o2), jnp.asarray(r2),
+        jnp.asarray(ei), jnp.asarray(mask)))
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    s3, s2 = softmax(o3[0]), softmax(o2[0])
+    total = 0.0
+    for e in range(e_cnt - 2):
+        ns3 = np.einsum("n,m->nm", s3[ei[0, e, 0]], s3[ei[0, e, 1]])
+        ns2 = np.einsum("n,m->nm", s2[ei[0, e, 0]], s2[ei[0, e, 1]])
+        c3 = np.einsum("nl,m->nlm", ns3, r3[0, e]).reshape(-1)
+        c2 = np.einsum("nl,m->nlm", ns2, r2[0, e]).reshape(-1)
+        total += np.abs(c3 - c2).sum()
+    want = total / (e_cnt - 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_rel_predictor_multi2():
+    import jax
+    from vlsat_tpu.models.mmgnet import RelPredictorMulti2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 16).astype(np.float32))
+    m = RelPredictorMulti2(7)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(m.apply(v, x))
+    assert out.shape == (2, 5, 7)
+    assert (out > 0).all() and (out < 1).all()

@@ -87,6 +87,24 @@ class RelPredictor(nn.Module):
         return nn.log_softmax(x, axis=-1)
 
 
+class RelPredictorMulti2(nn.Module):
+    """Alternate multi-label head (reference ``PointNetRelClsMulti2``,
+    network_PointNet.py:359-400, unused by the shipped configs):
+    256 -> 512 widths with an L2-normalize before the final layer."""
+
+    num_classes: int
+    dropout: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.relu(nn.Dense(256, name="fc1")(x))
+        x = nn.Dense(512, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.relu(x)
+        x = x * jax.lax.rsqrt(jnp.sum(jnp.square(x), -1, keepdims=True) + 1e-24)
+        return nn.sigmoid(nn.Dense(self.num_classes, name="fc3")(x))
+
+
 class TripletProjector(nn.Module):
     """Linear(3*512 -> 1024) - Dropout(0.5) - ReLU - Linear(1024 -> 512)."""
 

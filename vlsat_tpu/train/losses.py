@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from vlsat_tpu.ops.norm import safe_normalize
@@ -105,6 +106,38 @@ def single_label_rel_nll(log_probs: jnp.ndarray, gt_rels_onehot: jnp.ndarray,
         w_y = (gt_rels_onehot * weight).sum(-1)
         return (nll * w_y * m).sum() / jnp.maximum((w_y * m).sum(), 1e-12)
     return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def triplet_distill_loss(
+    obj_logits_3d: jnp.ndarray, rel_cls_3d: jnp.ndarray,
+    obj_logits_2d: jnp.ndarray, rel_cls_2d: jnp.ndarray,
+    edge_index: jnp.ndarray, edge_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """3D-vs-2D triplet score-cube L1 (reference ``compute_triplet_loss``,
+    SGFN_MMG/model.py:267-286 — defined but never used by the shipped
+    training; provided for ablations).  The per-edge sum over the
+    C*C*R cube factorizes: sum|s3⊗o3⊗r3 − s2⊗o2⊗r2| has no closed
+    factorization, so we compute it per edge without materializing the
+    cube only over the rel axis (C*C rows x R)."""
+    s3 = jax.nn.softmax(obj_logits_3d, axis=-1)
+    s2 = jax.lax.stop_gradient(jax.nn.softmax(obj_logits_2d, axis=-1))
+    r2 = jax.lax.stop_gradient(rel_cls_2d)
+
+    def per_scene(s3s, s2s, ei, r3s, r2s, ms):
+        def per_edge(args):
+            e_idx, r3e, r2e, m = args
+            ns3 = jnp.outer(s3s[e_idx[0]], s3s[e_idx[1]]).reshape(-1)
+            ns2 = jnp.outer(s2s[e_idx[0]], s2s[e_idx[1]]).reshape(-1)
+            diff = jnp.abs(ns3[:, None] * r3e[None, :]
+                           - ns2[:, None] * r2e[None, :])
+            return diff.sum() * m
+
+        # sequential map keeps the per-edge C*C x R block from batching up
+        return jax.lax.map(per_edge, (ei, r3s, r2s, ms.astype(r3s.dtype)))
+
+    sums = jax.vmap(per_scene)(s3, s2, edge_index, rel_cls_3d, r2, edge_mask)
+    denom = jnp.maximum(edge_mask.sum(), 1)
+    return sums.sum() / denom
 
 
 def resolve_rel_weights(
