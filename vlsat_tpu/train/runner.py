@@ -145,7 +145,12 @@ class Runner:
         loader = SceneLoader(self.valid_scenes, batch_size=1, shuffle=False)
         example = next(iter(loader))
         template = self._init_state(example)
-        restored = self.ckpt.restore(template, best=best)
+        try:
+            restored = self.ckpt.restore(template, best=best)
+        except Exception as e:  # structure mismatch (stale checkpoint), IO
+            print(f"warning: checkpoint restore failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); starting from fresh init")
+            restored = None
         if restored is None:
             self.state = template
             return False
