@@ -49,10 +49,9 @@ def main(argv=None):
         runner.load(best=args.loadbest)
         trace_model(runner, os.path.join(exp_dir, "traced"))
     else:
-        try:
-            runner.load(best=False)
-        except Exception as e:
-            print(f"unable to load previous model: {e}")
+        # resume tolerantly: an unrestorable checkpoint is archived and
+        # training starts fresh (reference main.py:45-48 semantics)
+        runner.load(best=False, allow_fallback=True)
         runner.train()
         runner.validation(save=True)
 

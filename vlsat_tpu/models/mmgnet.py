@@ -101,8 +101,7 @@ class RelPredictorMulti2(nn.Module):
         x = nn.Dense(512, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.relu(x)
-        x = x * jax.lax.rsqrt(jnp.sum(jnp.square(x), -1, keepdims=True) + 1e-24)
-        return nn.sigmoid(nn.Dense(self.num_classes, name="fc3")(x))
+        return nn.sigmoid(nn.Dense(self.num_classes, name="fc3")(safe_normalize(x)))
 
 
 class TripletProjector(nn.Module):

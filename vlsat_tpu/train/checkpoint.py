@@ -22,17 +22,33 @@ from vlsat_tpu.train.state import TrainState
 
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 3):
-        directory = os.path.abspath(directory)
-        os.makedirs(directory, exist_ok=True)
+        self._directory = os.path.abspath(directory)
+        self._max_to_keep = max_to_keep
+        self._open()
+
+    def _open(self):
+        os.makedirs(self._directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
-            directory,
+            self._directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
+                max_to_keep=self._max_to_keep,
                 best_fn=lambda m: m.get("eva_res", -1.0),
                 best_mode="max",
                 keep_checkpoints_without_metrics=True,
             ),
         )
+
+    def archive_stale(self) -> str:
+        """Move the checkpoint directory aside (restore-incompatible ckpts
+        would otherwise make orbax skip saves at lower steps) and reopen a
+        fresh manager."""
+        import time
+
+        self._mgr.close()
+        archived = f"{self._directory}.stale-{int(time.time())}"
+        os.rename(self._directory, archived)
+        self._open()
+        return archived
 
     def save(self, state: TrainState, eva_res: Optional[float] = None) -> None:
         metrics = {"eva_res": float(eva_res)} if eva_res is not None else {}

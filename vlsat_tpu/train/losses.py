@@ -115,10 +115,9 @@ def triplet_distill_loss(
 ) -> jnp.ndarray:
     """3D-vs-2D triplet score-cube L1 (reference ``compute_triplet_loss``,
     SGFN_MMG/model.py:267-286 — defined but never used by the shipped
-    training; provided for ablations).  The per-edge sum over the
-    C*C*R cube factorizes: sum|s3⊗o3⊗r3 − s2⊗o2⊗r2| has no closed
-    factorization, so we compute it per edge without materializing the
-    cube only over the rel axis (C*C rows x R)."""
+    training; provided for ablations).  The absolute difference of two
+    rank-1 cubes has no closed factorization, so each edge materializes
+    its (C*C, R) block; edges are mapped in bounded chunks."""
     s3 = jax.nn.softmax(obj_logits_3d, axis=-1)
     s2 = jax.lax.stop_gradient(jax.nn.softmax(obj_logits_2d, axis=-1))
     r2 = jax.lax.stop_gradient(rel_cls_2d)
@@ -132,8 +131,10 @@ def triplet_distill_loss(
                            - ns2[:, None] * r2e[None, :])
             return diff.sum() * m
 
-        # sequential map keeps the per-edge C*C x R block from batching up
-        return jax.lax.map(per_edge, (ei, r3s, r2s, ms.astype(r3s.dtype)))
+        # chunked map: vectorized within chunks, memory bounded by
+        # batch_size * C*C * R floats
+        return jax.lax.map(per_edge, (ei, r3s, r2s, ms.astype(r3s.dtype)),
+                           batch_size=64)
 
     sums = jax.vmap(per_scene)(s3, s2, edge_index, rel_cls_3d, r2, edge_mask)
     denom = jnp.maximum(edge_mask.sum(), 1)

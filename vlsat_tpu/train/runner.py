@@ -141,15 +141,31 @@ class Runner:
             state = replicate(state, self.mesh)
         return state
 
-    def load(self, best: bool = False) -> bool:
+    def load(self, best: bool = False, allow_fallback: bool = False) -> bool:
+        """Restore the latest/best checkpoint.
+
+        ``allow_fallback=True`` (train resume): an unrestorable checkpoint
+        (structure mismatch after a code change, corruption) is archived
+        aside — leaving it in place would make orbax silently skip every
+        save whose step is below the stale one — and training starts fresh.
+        Default (eval/trace): restore errors propagate; silently evaluating
+        a fresh-init model would produce garbage metrics with exit code 0.
+        """
         loader = SceneLoader(self.valid_scenes, batch_size=1, shuffle=False)
         example = next(iter(loader))
         template = self._init_state(example)
         try:
             restored = self.ckpt.restore(template, best=best)
-        except Exception as e:  # structure mismatch (stale checkpoint), IO
-            print(f"warning: checkpoint restore failed ({type(e).__name__}: "
-                  f"{str(e)[:200]}); starting from fresh init")
+        except Exception as e:
+            if not allow_fallback:
+                raise RuntimeError(
+                    f"checkpoint restore failed for {self.exp_dir} "
+                    f"({type(e).__name__}); delete or archive the stale "
+                    "checkpoints to proceed"
+                ) from e
+            archived = self.ckpt.archive_stale()
+            print(f"warning: checkpoint restore failed ({type(e).__name__}); "
+                  f"archived stale checkpoints to {archived}; starting fresh")
             restored = None
         if restored is None:
             self.state = template
