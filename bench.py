@@ -31,6 +31,15 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compilation cache: a warm run takes ~55 s instead of ~225 s
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vlsat_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without these flags
+
     from vlsat_tpu.data.synthetic import make_batch
     from vlsat_tpu.models import MMGNet, MMGNetConfig
 
