@@ -187,6 +187,53 @@ def import_mmgnet(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
     return {"params": params, "batch_stats": batch_stats}
 
 
+def import_mmgnet_single(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
+                         depth: int = 2) -> Dict[str, Any]:
+    """Assemble flax variables for models.variants.MMGNetSingle from the
+    reference model_single per-module checkpoints (model_single.py:46-112)."""
+    sds = module_state_dicts
+    params: Dict[str, Any] = {
+        "obj_encoder": import_pointnet(sds["obj_encoder"]),
+        "rel_encoder_3d": import_pointnet(sds["rel_encoder_3d"]),
+        "mmg": {f"gcn_3d_{i}": import_gean(sds["mmg"], f"gcn_3ds.{i}")
+                for i in range(depth)},
+        "rel_predictor_3d": import_rel_predictor(sds["rel_predictor_3d"]),
+        "obj_predictor_3d": _dense(sds["obj_predictor_3d"], ""),
+    }
+    mlp = sds["mlp_3d"]
+    params["mlp_3d_fc"] = _dense(mlp, "0")
+    params["mlp_3d_bn"] = _layernorm(mlp, "1")
+    batch_stats = {"mlp_3d_bn": {"mean": _v(mlp["1.running_mean"]),
+                                 "var": _v(mlp["1.running_var"])}}
+    tp = sds.get("triplet_projector_3d")
+    if tp is not None:
+        params["triplet_projector_3d"] = {"fc0": _dense(tp, "0"), "fc1": _dense(tp, "3")}
+    if "obj_logit_scale" in sds:
+        scale = sds["obj_logit_scale"]
+        val = scale.get("obj_logit_scale", next(iter(scale.values())))
+        params["obj_logit_scale"] = np.asarray(val, np.float32).reshape(())
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def import_sgfn(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
+                depth: int = 2, dim_edge: int = 256) -> Dict[str, Any]:
+    """Assemble flax variables for models.variants.SGFN from the reference
+    baseline_sgfn per-module checkpoints (baseline_sgfn.py:43-99)."""
+    sds = module_state_dicts
+    gcn: Dict[str, Any] = {"self_attn_fc": import_dist_mlp(sds["gcn"], "self_attn_fc")}
+    for i in range(depth):
+        gcn[f"self_attn_{i}"] = import_mha(sds["gcn"], f"self_attn.{i}")
+        gcn[f"gconv_{i}"] = import_gean(sds["gcn"], f"gconvs.{i}", dim_edge=dim_edge)
+    params = {
+        "obj_encoder": import_pointnet(sds["obj_encoder"]),
+        "rel_encoder": import_pointnet(sds["rel_encoder"]),
+        "gcn": gcn,
+        "obj_predictor": import_rel_predictor(sds["obj_predictor"]),
+        "rel_predictor": import_rel_predictor(sds["rel_predictor"]),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
 def import_from_directory(ckpt_dir: str, suffix: str = ".pth",
                           depth: int = 2) -> Dict[str, Any]:
     """Load a reference experiment checkpoint directory (one file per
