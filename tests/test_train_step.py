@@ -87,6 +87,59 @@ def test_data_parallel_8_devices_matches_single():
     np.testing.assert_allclose(l1, l8, rtol=1e-4, atol=1e-6)
 
 
+def test_data_parallel_3step_training_equivalence():
+    """3 sharded steps on fresh batches == 3 unsharded steps: certifies the
+    DYNAMIC loss weights' global-batch reduction (losses.py dynamic_rel_weights)
+    and the gradient psum across optimizer-state carry.  Plain SGD keeps the
+    comparison tight: Adam's 1/sqrt(v) amplifies fp32 psum-reassociation
+    noise ~1000x early in training, which would only obscure what this test
+    certifies (the 1-step AdamW check above covers the production opt)."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    import optax
+
+    model = small_model()
+    opt = optax.sgd(1e-2)
+    batches = [
+        make_batch(seed=s, node_counts=(3, 4, 3, 4) * 2, num_points=8, bucket=4,
+                   with_text=True, num_obj_classes=20, num_rel_classes=7)
+        for s in range(3)
+    ]
+    state0 = create_train_state(model, batches[0], opt, seed=0)
+    step = make_train_step(model, opt, donate=False)
+
+    s1, losses1 = state0, []
+    for i, b in enumerate(batches):
+        s1, aux1 = step(s1, b, jax.random.PRNGKey(i))
+        losses1.append(float(aux1["loss"]))
+
+    mesh = make_mesh(jax.devices()[:8])
+    s8, losses8 = replicate(state0, mesh), []
+    for i, b in enumerate(batches):
+        s8, aux8 = step(s8, shard_batch(b, mesh), jax.random.PRNGKey(i))
+        losses8.append(float(aux8["loss"]))
+
+    # per-step loss equality is the direct DYNAMIC-weight signal: a
+    # per-shard (non-global) label-count reduction shifts weights by O(1)
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-5)
+    # params carry 3 steps of fp32 psum-reassociation noise in the
+    # gradients; semantic divergence would show up at the 1e-2 level
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=1e-6)
+
+
+def test_shard_batch_rejects_uneven_batch():
+    import pytest
+
+    batch = make_batch(node_counts=(3,) * 6, num_points=8, bucket=4,
+                       num_obj_classes=20, num_rel_classes=7)
+    mesh = make_mesh(jax.devices()[:8])
+    with pytest.raises(ValueError, match="does not divide"):
+        shard_batch(batch, mesh)
+
+
 def test_eval_step():
     batch = make_batch(node_counts=(5,), num_points=16,
                        num_obj_classes=20, num_rel_classes=7)

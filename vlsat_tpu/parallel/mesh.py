@@ -26,7 +26,23 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "data"
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Place a SceneBatch (or any pytree with leading scene axis) onto the
-    mesh, sharded over its first axis."""
+    mesh, sharded over its first axis.
+
+    The scene count must divide evenly by the mesh size: silently uneven
+    shards would skew every global-batch reduction (loss means, DYNAMIC
+    class weights).  Callers with ragged final batches should pad to a
+    multiple of the mesh size with masked scenes (all-False obj_mask/
+    edge_mask rows contribute nothing to any loss or metric) or drop the
+    remainder, as the reference's DataLoader(drop_last=True) does.
+    """
+    n_dev = mesh.shape[axis]
+    leaves = jax.tree.leaves(batch)
+    if leaves and leaves[0].shape[0] % n_dev != 0:
+        raise ValueError(
+            f"batch of {leaves[0].shape[0]} scenes does not divide over "
+            f"{n_dev} devices on mesh axis {axis!r}; pad with masked scenes "
+            "or drop the remainder"
+        )
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
