@@ -1,6 +1,9 @@
 """Benchmark: flagship MMG-Net eval throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus the
+rest of the BASELINE.json metric set — train-step scenes/sec (full
+fwd+loss+bwd+opt pipeline at B=8) and p50/p99 per-scene eval latency
+(B=1, bucket 16), all measured device-true.
 
 Workload: full dual-branch MMG-Net (160 obj / 26 rel classes, 128 points
 per instance) evaluating batches of 32 synthetic 3DSSG-like scenes padded
@@ -71,18 +74,61 @@ def main():
 
     from vlsat_tpu.utils.profiling import trace
 
-    def timed(n):
-        float(np.asarray(eval_many(params, batch_stats, batch, n)))  # compile+warm
+    def timed(fn, n):
+        float(np.asarray(fn(n)))  # compile+warm
         t0 = time.perf_counter()
-        float(np.asarray(eval_many(params, batch_stats, batch, n)))  # full sync
+        float(np.asarray(fn(n)))  # full sync
         return time.perf_counter() - t0
 
+    ev = lambda n: eval_many(params, batch_stats, batch, n)
     with trace():  # set VLSAT_PROFILE_DIR to capture a kernel timeline
         n_lo, n_hi = 8, 40
-        t_lo = timed(n_lo)
-        t_hi = timed(n_hi)
+        t_lo = timed(ev, n_lo)
+        t_hi = timed(ev, n_hi)
     per_batch = (t_hi - t_lo) / (n_hi - n_lo)
     scenes_per_sec = batch_scenes / per_batch
+
+    # ---- per-scene eval latency (B=1, carry-chained slope; percentiles over
+    # repeated samples — a naive per-dispatch timer would measure the ~30 ms
+    # host/tunnel round trip, not device latency) --------------------------
+    batch1 = make_batch(seed=2, node_counts=(13,), num_points=128, bucket=16)
+    ev1 = lambda n: eval_many(params, batch_stats, batch1, n)
+    timed(ev1, 4)  # compile both shapes before sampling
+    timed(ev1, 16)
+    lat = []
+    for _ in range(20):
+        t_lo1 = timed(ev1, 4)
+        t_hi1 = timed(ev1, 16)
+        lat.append((t_hi1 - t_lo1) / 12)
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+    p99_ms = float(np.percentile(lat, 99) * 1e3)
+
+    # ---- train-step throughput (full train pipeline: fwd+loss+bwd+opt in
+    # one jit, state-carried scan defeats hoisting) -------------------------
+    from vlsat_tpu.train.optim import make_optimizer
+    from vlsat_tpu.train.state import create_train_state
+    from vlsat_tpu.train.step import make_train_step
+
+    train_counts = node_counts[:8]
+    train_batch = make_batch(seed=3, node_counts=train_counts, num_points=128,
+                             bucket=16, with_text=True)
+    opt = make_optimizer(lr=1e-4, max_iteration=1000)
+    state = create_train_state(model, tiny, opt, seed=0)
+    step = make_train_step(model, opt, donate=False)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def train_many(state, batch, n):
+        def body(st, _):
+            st2, aux = step(st, batch, jax.random.PRNGKey(0))
+            return st2, aux["loss"]
+
+        final, losses = jax.lax.scan(body, state, None, length=n)
+        return losses[-1]
+
+    tr = lambda n: train_many(state, train_batch, n)
+    t_lo_tr = timed(tr, 4)
+    t_hi_tr = timed(tr, 16)
+    train_scenes_per_sec = len(train_counts) * 12 / (t_hi_tr - t_lo_tr)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -96,6 +142,11 @@ def main():
         "value": round(scenes_per_sec, 2),
         "unit": "scenes/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        # the rest of the BASELINE.json metric set (train throughput +
+        # per-scene eval latency percentiles, device-true like the headline)
+        "train_scenes_per_sec": round(train_scenes_per_sec, 2),
+        "p50_scene_latency_ms": round(p50_ms, 3),
+        "p99_scene_latency_ms": round(p99_ms, 3),
     }))
 
 
