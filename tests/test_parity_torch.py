@@ -142,8 +142,12 @@ def test_sgfn_parity():
                                    rtol=RTOL, atol=ATOL, err_msg=key)
 
 
-def test_gean_block_parity_two_scenes():
-    """The fat-attention GCN layer in isolation, 2 scenes padded vs looped."""
+@pytest.mark.parametrize("nn_edge_mode", ["edge", "onehot", "gather"])
+def test_gean_block_parity_two_scenes(nn_edge_mode):
+    """The fat-attention GCN layer in isolation, 2 scenes padded vs looped.
+
+    All three nn_edge node-projection placements (models/gnn.py) must
+    produce the same numbers — they differ only in FLOP/memory layout."""
     import jax.numpy as jnp
 
     from vlsat_tpu.interop.torch_oracle import _GraphEdgeAttenNetwork
@@ -161,7 +165,8 @@ def test_gean_block_parity_two_scenes():
     e_feat = rng.randn(B, E, 512).astype(np.float32)
 
     flax_mod = GraphEdgeAttenNetwork(
-        num_heads=8, dim_node=512, dim_edge=512, dim_atten=256)
+        num_heads=8, dim_node=512, dim_edge=512, dim_atten=256,
+        nn_edge_mode=nn_edge_mode)
     x_new, e_new = flax_mod.apply(
         {"params": params}, jnp.asarray(x), jnp.asarray(e_feat),
         batch.edge_index, batch.edge_mask, deterministic=True)

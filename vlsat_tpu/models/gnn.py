@@ -20,6 +20,7 @@ Faithfulness notes:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vlsat_tpu.models.layers import DenseStack, HeadMLP, MaskedBatchNorm
@@ -92,12 +93,19 @@ class GraphEdgeAttenNetwork(nn.Module):
     aggr: str = "max"
     dropout_atten: float | None = 0.5
     use_edge: bool = True
-    # Project nodes once and gather (fewer FLOPs) instead of projecting the
-    # gathered copies per edge.  Algebraically identical; measured SLOWER
-    # at 3DSSG edge widths (gathering the 1024-wide projections moves more
-    # HBM bytes than the FLOPs saved) — worthwhile only when nodes carry
-    # far more edges (dense graphs, see PERFORMANCE.md).
-    node_level_nn_edge: bool = False
+    # Where the nn_edge first-layer node projections are computed.  All
+    # three modes are algebraically identical (params too); they differ
+    # only in FLOPs and memory traffic — E = N(N-1) edges reuse each
+    # node's projection ~N times, so projecting per NODE does ~N/2x fewer
+    # matmul FLOPs on the dominant 512->1024 projections:
+    #   "edge":   project the gathered per-edge copies (E x 512 x 1024).
+    #   "gather": project per node, take_along_axis-gather the 1024-wide
+    #             rows per edge.  Measured SLOWER than "edge" on v5e — the
+    #             elementwise gather's HBM traffic exceeds the FLOPs saved
+    #             (PERFORMANCE.md).
+    #   "onehot": project per node, gather via a one-hot (B, E, N) matmul
+    #             — the "gather" FLOP saving with MXU-friendly access.
+    nn_edge_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x, edge_feature, edge_index, edge_mask, *,
@@ -113,15 +121,23 @@ class GraphEdgeAttenNetwork(nn.Module):
             name="edgeatten",
         )
         hid = self.dim_node + self.dim_edge
-        # The Dense modules exist in both modes so params are identical.
+        # The Dense modules exist in every mode so params are identical.
         dense_i = nn.Dense(hid, use_bias=False, name="edgeatten_nn_edge_fc0_node_i")
         dense_j = nn.Dense(hid, use_bias=False, name="edgeatten_nn_edge_fc0_node_j")
-        if self.node_level_nn_edge:
+        if self.nn_edge_mode == "gather":
             pi, pj = gather_edge_endpoints(
                 jnp.concatenate([dense_i(x), dense_j(x)], axis=-1), edge_index)
             nodes = (pi[..., :hid], pj[..., hid:])
-        else:
+        elif self.nn_edge_mode == "onehot":
+            n = x.shape[1]
+            oh_i = jax.nn.one_hot(edge_index[..., 0], n, dtype=x.dtype)
+            oh_j = jax.nn.one_hot(edge_index[..., 1], n, dtype=x.dtype)
+            nodes = (jnp.einsum("ben,bnh->beh", oh_i, dense_i(x)),
+                     jnp.einsum("ben,bnh->beh", oh_j, dense_j(x)))
+        elif self.nn_edge_mode == "edge":
             nodes = (dense_i(x_i), dense_j(x_j))
+        else:
+            raise ValueError(f"unknown nn_edge_mode {self.nn_edge_mode!r}")
         msg, edge_new = ea(
             x_i, edge_feature, x_j, deterministic=deterministic,
             nn_edge_nodes=nodes)

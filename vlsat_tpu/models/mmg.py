@@ -39,6 +39,7 @@ class MMG(nn.Module):
     aggr: str = "max"
     dropout_atten: float = 0.5
     use_edge: bool = True
+    nn_edge_mode: str = "edge"
 
     def _gcn(self, name):
         return GraphEdgeAttenNetwork(
@@ -49,6 +50,7 @@ class MMG(nn.Module):
             aggr=self.aggr,
             dropout_atten=self.dropout_atten,
             use_edge=self.use_edge,
+            nn_edge_mode=self.nn_edge_mode,
             name=name,
         )
 

@@ -61,6 +61,10 @@ class MMGNetConfig:
     adapter_alpha: float = 0.5
     multi_rel_outputs: bool = True
     fused_pointnet: bool = False  # Pallas fused object encoder (inference)
+    # nn_edge first-layer node-projection placement (see models/gnn.py):
+    # "onehot" projects per node and gathers via one-hot matmul — exact
+    # same math as "edge" at ~N/2x fewer FLOPs on the hot projections
+    nn_edge_mode: str = "edge"
     # in21k-variant switches (reference model_in21k.py: dim_node 768,
     # no adapter, plain Linear classifiers, no 768->504 bottleneck):
     cosine_classifier: bool = True
@@ -205,6 +209,7 @@ class MMGNet(nn.Module):
             aggr=cfg.gcn_aggr,
             dropout_atten=cfg.dropout_atten,
             use_edge=cfg.use_gcn_edge,
+            nn_edge_mode=cfg.nn_edge_mode,
             name="mmg",
         )(
             obj_feature, obj_2d, rel_feature_3d, rel_feature_2d,
