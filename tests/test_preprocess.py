@@ -149,3 +149,110 @@ def test_adapter_trainer_learns():
     assert len(recs) == 1
     assert recs[0].label == "trash can"
     assert "instance_4_class_trash can_origin_view_mean.npy" in recs[0].feature_path("/r")
+
+
+def test_clean_gt_segment_labels():
+    from vlsat_tpu.preprocess.gen_data import clean_gt_segment_labels
+
+    # segment 1: 700 points label 7 + 600 points label 3 (minority big
+    # enough -> new segment), + 50 points label 9 (small -> zeroed)
+    segments = np.concatenate([np.full(700, 1), np.full(600, 1), np.full(50, 1),
+                               np.full(100, 2)])
+    labels = np.concatenate([np.full(700, 7), np.full(600, 3), np.full(50, 9),
+                             np.full(100, 4)])
+    segs2, labs2 = clean_gt_segment_labels(segments, labels, min_seg_size=512)
+    # majority stays
+    assert (segs2[:700] == 1).all() and (labs2[:700] == 7).all()
+    # big minority -> fresh segment id, label kept
+    new_ids = np.unique(segs2[700:1300])
+    assert len(new_ids) == 1 and new_ids[0] == 3  # max(1,2)+1
+    assert (labs2[700:1300] == 3).all()
+    # small minority zeroed out of both arrays
+    assert (segs2[1300:1350] == 0).all() and (labs2[1300:1350] == 0).all()
+    # untouched segment unchanged
+    assert (segs2[1350:] == 2).all() and (labs2[1350:] == 4).all()
+    # inputs not mutated
+    assert (segments[700] == 1) and (labels[1300] == 9)
+
+
+def _grid_points(center, n, spacing=0.01):
+    side = int(np.ceil(n ** (1 / 3)))
+    g = np.stack(np.meshgrid(*[np.arange(side)] * 3), -1).reshape(-1, 3)[:n]
+    return center + g * spacing
+
+
+def test_map_segments_scannet_thresholds():
+    from vlsat_tpu.preprocess.gen_data import map_segments_scannet
+
+    n = 600  # above min_seg_size=512
+    # GT: segment 10 at origin, segment 20 at x=5, segment 30 ('none') at x=10
+    gt_pts = np.concatenate([_grid_points([0, 0, 0], n),
+                             _grid_points([5, 0, 0], n),
+                             _grid_points([10, 0, 0], n)]).astype(np.float32)
+    gt_segs = np.concatenate([np.full(n, 10), np.full(n, 20), np.full(n, 30)])
+    names = {10: "chair", 20: "table", 30: "none"}
+
+    # pred segment 1 sits on GT 10; pred 2 on GT 20; pred 3 on the 'none'
+    # GT (votes discarded -> unmapped); pred 4 too small; pred 5 too far
+    pd_pts = np.concatenate([
+        _grid_points([0, 0, 0], n), _grid_points([5, 0, 0], n),
+        _grid_points([10, 0, 0], n), _grid_points([0, 0, 0], 100),
+        _grid_points([50, 0, 0], n),
+    ]).astype(np.float32)
+    pd_segs = np.concatenate([np.full(n, 1), np.full(n, 2), np.full(n, 3),
+                              np.full(100, 4), np.full(n, 5)])
+    mapping, groups = map_segments_scannet(
+        pd_pts, pd_segs, gt_pts, gt_segs, names, max_dist=0.1)
+    assert mapping == {1: 10, 2: 20}
+    assert groups == {10: [1], 20: [2]}
+
+
+def test_map_segments_scannet_ambiguity_filter():
+    from vlsat_tpu.preprocess.gen_data import map_segments_scannet
+
+    n = 900
+    # three GT segments packed adjacently; a pred segment straddling them
+    # with 60/25/15% votes: occ = 0.25/0.6 = 0.42 < 0.75 -> accepted
+    gt_pts = np.concatenate([_grid_points([0, 0, 0], 600),
+                             _grid_points([0.12, 3, 0], 600),
+                             _grid_points([0.12, 6, 0], 600)]).astype(np.float32)
+    gt_segs = np.concatenate([np.full(600, 1), np.full(600, 2), np.full(600, 3)])
+    names = {1: "sofa", 2: "pillow", 3: "bed"}
+    pd = np.concatenate([_grid_points([0, 0, 0], int(n * 0.6)),
+                         _grid_points([0.12, 3, 0], int(n * 0.25)),
+                         _grid_points([0.12, 6, 0], n - int(n * 0.6) - int(n * 0.25))
+                         ]).astype(np.float32)
+    segs = np.full(len(pd), 7)
+    mapping, _ = map_segments_scannet(pd, segs, gt_pts, gt_segs, names)
+    assert mapping == {7: 1}
+
+    # 45/40/15%: winner below corr_thres=0.5 -> rejected
+    pd2 = np.concatenate([_grid_points([0, 0, 0], int(n * 0.45)),
+                          _grid_points([0.12, 3, 0], int(n * 0.40)),
+                          _grid_points([0.12, 6, 0], n - int(n * 0.45) - int(n * 0.40))
+                          ]).astype(np.float32)
+    mapping2, _ = map_segments_scannet(pd2, np.full(len(pd2), 7), gt_pts,
+                                       gt_segs, names)
+    assert mapping2 == {}
+
+    # 52/40/8%: passes corr_thres but occ = .40/.52 = 0.77 > 0.75 -> rejected
+    pd3 = np.concatenate([_grid_points([0, 0, 0], int(n * 0.52)),
+                          _grid_points([0.12, 3, 0], int(n * 0.40)),
+                          _grid_points([0.12, 6, 0], n - int(n * 0.52) - int(n * 0.40))
+                          ]).astype(np.float32)
+    mapping3, _ = map_segments_scannet(pd3, np.full(len(pd3), 7), gt_pts,
+                                       gt_segs, names)
+    assert mapping3 == {}
+
+
+def test_gen_scannet_relationships():
+    from vlsat_tpu.preprocess.gen_data import gen_scannet_relationships
+
+    mapping = {1: 10, 2: 10, 3: 20}
+    names = {10: "wall", 20: "floor"}
+    groups = {10: [1, 2], 20: [3]}
+    entry = gen_scannet_relationships("scene0000_00", mapping, names, groups)
+    assert entry["objects"] == {1: "wall", 2: "wall", 3: "floor"}
+    rels = entry["relationships"]
+    assert [1, 2, 0, "same part"] in rels and [2, 1, 0, "same part"] in rels
+    assert len(rels) == 2  # singleton group emits nothing

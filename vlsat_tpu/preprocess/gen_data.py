@@ -132,6 +132,131 @@ def build_neighbor_graph(points: np.ndarray, segments: np.ndarray,
     return nbrs
 
 
+def clean_gt_segment_labels(
+    segments_gt: np.ndarray, labels_gt: np.ndarray, min_seg_size: int = 512,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Resolve GT segments carrying multiple labels (ScanNet aggregation
+    noise), per gen_data_scannet.py:95-135: keep the majority label; a
+    minority label's points either become a NEW segment (when that label
+    has more than ``min_seg_size`` points) or are zeroed out of both
+    arrays.  NOTE the reference's size check reads a stale loop variable
+    (``labels==id`` where ``id`` is left over from the counting loop,
+    gen_data_scannet.py:117) so it compares the wrong label's size; we
+    implement the evident intent (per-minority-label size).
+
+    Returns cleaned (segments, labels) copies.
+    """
+    segments = segments_gt.copy()
+    labels = labels_gt.copy()
+    next_seg = int(segments.max()) + 1
+    for seg_id in np.unique(segments):
+        idx = np.where(segments == seg_id)[0]
+        uq = np.unique(labels[idx])
+        if len(uq) <= 1:
+            continue
+        counts = {int(l): int((labels[idx] == l).sum()) for l in uq}
+        major = max(counts, key=counts.get)
+        for label, count in counts.items():
+            if label == major:
+                continue
+            sel = idx[labels[idx] == label]
+            if count > min_seg_size:
+                segments[sel] = next_seg
+                next_seg += 1
+            else:
+                segments[sel] = 0
+                labels[sel] = 0
+    return segments, labels
+
+
+def map_segments_scannet(
+    pred_points: np.ndarray, pred_segments: np.ndarray,
+    gt_points: np.ndarray, gt_segments: np.ndarray,
+    instance_names: Dict[int, str],
+    max_dist: float = 0.1, min_seg_size: int = 512,
+    corr_thres: float = 0.5, occ_thres: float = 0.75,
+) -> Tuple[Dict[int, int], Dict[int, List[int]]]:
+    """Predicted-segment -> GT-segment correspondence with the reference's
+    two-threshold rule (gen_data_scannet.py:157-242):
+
+      * segments below ``min_seg_size`` points are skipped;
+      * each predicted point votes for the GT segment of its nearest GT
+        point within ``max_dist`` (votes to segments named 'none' or
+        missing from ``instance_names`` are discarded);
+      * the winner needs vote_count / segment_size > ``corr_thres``;
+      * ambiguity filter: with more than two candidates, the
+        second-best/best ratio must stay below ``occ_thres`` (the
+        reference computes this only when >2 candidates exist — a
+        2-candidate tie passes unfiltered; replicated).
+
+    Returns (pd->gt mapping, gt->list-of-pd groups), the inputs of
+    :func:`same_part_relationships` / :func:`gen_scannet_relationships`.
+    """
+    mapping: Dict[int, int] = {}
+    gt_groups: Dict[int, List[int]] = {}
+    for seg in np.unique(pred_segments):
+        if seg == 0:
+            continue
+        pts = pred_points[pred_segments == seg]
+        if len(pts) <= min_seg_size:
+            continue
+        votes: Dict[int, int] = {}
+        for i in range(0, len(pts), 512):
+            chunk = pts[i:i + 512]
+            d2 = np.square(chunk[:, None, :] - gt_points[None, :, :]).sum(-1)
+            nn = np.argmin(d2, axis=1)
+            ok = np.sqrt(d2[np.arange(len(chunk)), nn]) <= max_dist
+            for inst in gt_segments[nn[ok]]:
+                inst = int(inst)
+                name = instance_names.get(inst)
+                if name is None or name == "none":
+                    continue
+                votes[inst] = votes.get(inst, 0) + 1
+        if not votes:
+            continue
+        ratios = sorted((c / len(pts) for c in votes.values()), reverse=True)
+        best, cnt = max(votes.items(), key=lambda kv: kv[1])
+        occ_ratio = ratios[1] / ratios[0] if len(ratios) > 2 else 0.0
+        if ratios[0] > corr_thres and occ_ratio < occ_thres:
+            mapping[int(seg)] = best
+            gt_groups.setdefault(best, []).append(int(seg))
+    return mapping, gt_groups
+
+
+def gen_scannet_relationships(
+    scan_id: str,
+    mapping: Dict[int, int],
+    instance_names: Dict[int, str],
+    gt_groups: Dict[int, List[int]],
+    split: int = 0,
+    rel_name: str = "same part",
+    target_segments: Optional[Sequence[int]] = None,
+) -> dict:
+    """One relationships-JSON entry for a ScanNet scan
+    (gen_data_scannet.py:268-302): objects named by their corresponding GT
+    instance, relations = bidirectional 'same part' pairs of predicted
+    segments sharing a GT segment."""
+    objects = {}
+    for seg, gt in mapping.items():
+        if target_segments is not None and seg not in target_segments:
+            continue
+        name = instance_names[gt]
+        assert name not in ("-", "none")
+        objects[int(seg)] = name
+    rels: List[list] = []
+    for group in gt_groups.values():
+        if target_segments is not None:
+            group = [g for g in group if g in target_segments]
+        if len(group) <= 1:
+            continue
+        for i in range(len(group)):
+            for j in range(i + 1, len(group)):
+                rels.append([int(group[i]), int(group[j]), 0, rel_name])
+                rels.append([int(group[j]), int(group[i]), 0, rel_name])
+    return {"scan": scan_id, "split": split, "objects": objects,
+            "relationships": rels}
+
+
 def same_part_relationships(
     seg_to_gt: Dict[int, int], rel_index: int = 0, rel_name: str = "same part",
     target_segments: Optional[Sequence[int]] = None,
