@@ -75,3 +75,69 @@ def test_scene_recall_per_class_shape():
     for r in range(nrel):
         if (gt_rels[:, r] > 0).sum() == 0:
             assert (out[r] == -1).all()
+
+
+def slow_rels_recall(rel_probs, gt_rels, topk_list, topk_each):
+    """predcls oracle: rank per-edge predicate scores only."""
+    confs, ids, eids = [], [], []
+    for e in range(len(rel_probs)):
+        top = np.argsort(-rel_probs[e], kind="stable")[:topk_each]
+        confs.append(rel_probs[e][top])
+        ids.append(top)
+        eids.append(np.full(len(top), e))
+    conf = np.concatenate(confs)
+    idx = np.concatenate(ids)
+    eid = np.concatenate(eids)
+    order = np.argsort(-conf, kind="stable")[: max(topk_list)]
+    correct = [0] * len(topk_list)
+    done = [set() for _ in topk_list]
+    for rank, o in enumerate(order):
+        e = eid[o]
+        if gt_rels[e, idx[o]] > 0:
+            for t, k in enumerate(topk_list):
+                if rank < k and e not in done[t]:
+                    correct[t] += 1
+                    done[t].add(e)
+    total = max(float((gt_rels.sum(-1) > 0).sum()), 1.0)
+    return np.asarray(correct) / total
+
+
+def test_scene_recall_rels_mode_matches_oracle():
+    rng = np.random.RandomState(7)
+    n, c, nrel = 6, 10, 5
+    logits = rng.randn(n, c).astype(np.float32)
+    gt_class = rng.randint(0, c, n)
+    ei = full_edge_index(n)
+    rel_probs = rng.rand(len(ei), nrel).astype(np.float32)
+    gt_rels = (rng.rand(len(ei), nrel) < 0.3).astype(np.float32)
+    for topk_each in (1, 100):  # gc and ngc variants
+        got = scene_recall_topk(logits, rel_probs, gt_rels, gt_class, ei,
+                                topk=(5, 20), topk_each=topk_each,
+                                num_rel_classes=nrel, evaluate="rels")
+        want = slow_rels_recall(rel_probs, gt_rels, [5, 20], topk_each)
+        np.testing.assert_allclose(got, want, err_msg=f"topk_each={topk_each}")
+
+
+def test_scene_recall_valid_edges_ignores_padding():
+    rng = np.random.RandomState(9)
+    n, c, nrel = 5, 8, 4
+    logits = rng.randn(n, c).astype(np.float32)
+    gt_class = rng.randint(0, c, n)
+    ei_valid = full_edge_index(n)
+    ev = len(ei_valid)
+    pad = 10
+    ei = np.concatenate([ei_valid, np.zeros((pad, 2), np.int32)])
+    rel_probs = rng.rand(ev + pad, nrel).astype(np.float32)
+    rel_probs[ev:] = 0.99  # poison padded rows — must be dropped
+    gt_rels = np.zeros((ev + pad, nrel), np.float32)
+    gt_rels[:ev] = (rng.rand(ev, nrel) < 0.3).astype(np.float32)
+    for mode in ("triplet", "rels"):
+        got = scene_recall_topk(logits, rel_probs, gt_rels, gt_class, ei,
+                                topk=(5, 20), topk_each=10,
+                                num_rel_classes=nrel, evaluate=mode,
+                                valid_edges=ev)
+        want = scene_recall_topk(logits, rel_probs[:ev], gt_rels[:ev],
+                                 gt_class, ei_valid, topk=(5, 20),
+                                 topk_each=10, num_rel_classes=nrel,
+                                 evaluate=mode)
+        np.testing.assert_allclose(got, want, err_msg=mode)

@@ -45,12 +45,20 @@ def evaluate(
     verbose: bool = True,
     total: Optional[int] = None,
     multi_rel: bool = True,
+    scene_recall: bool = False,
 ) -> Dict[str, float]:
     """``multi_rel=False`` evaluates the single-label mode: heads emit
     log-probs over [none]+classes; predicate ranks use the raw log-probs
     (reference process_val passes them as-is), triplet confidences use
     exp(log-probs) (eva_utils_acc.py:146-147), and 'none' targets count as
-    no-GT edges (get_gt, ":20-22")."""
+    no-GT edges (get_gt, ":20-22").
+
+    ``scene_recall=True`` adds the in21k ``process_val2/val3`` protocol
+    (model_in21k.py:441-512): scene-level predcls/sgcls R@{20,50,100} and
+    per-predicate mean variants, each in graph-constrained (gc,
+    topk_each=1) and unconstrained (ngc, topk_each=100) form, averaged
+    over scenes with at least one GT relation (the reference's per-scene
+    ratios are 0/0 on relation-free scenes)."""
     acc = {
         k: [] for k in (
             "topk_obj", "topk_obj_2d", "topk_rel", "topk_rel_2d",
@@ -58,6 +66,9 @@ def evaluate(
         )
     }
     cls_rows, sub_scores, obj_scores, rel_scores = [], [], [], []
+    sr_combos = [("predcls", "rels"), ("sgcls", "triplet")]
+    sr_acc: Dict[str, list] = {f"{m}_{t}": [] for m, _ in sr_combos for t in ("gc", "ngc")}
+    sr_cls: Dict[str, list] = {k: [] for k in sr_acc}
     progbar = Progbar(total, width=20) if verbose else None
     seen = 0
 
@@ -125,6 +136,24 @@ def evaluate(
                 acc["topk_triplet"].extend(t3["topk"])
                 acc["topk_triplet_2d"].extend(t2["topk"])
                 cls_rows.append(t3["cls_matrix"])
+                if scene_recall and gt_rels[s, :ev].sum() > 0:
+                    from vlsat_tpu.eval.recall import scene_recall_topk
+
+                    rel3 = np.asarray(out["rel_cls_3d"][s])
+                    ol3 = np.asarray(out["obj_logits_3d"][s])
+                    for name, mode in sr_combos:
+                        for tag, te in (("gc", 1), ("ngc", 100)):
+                            common = dict(
+                                obj_logits=ol3, rel_probs=rel3,
+                                gt_rels=gt_rels[s], gt_class=gt_class[s],
+                                edge_index=edge_index[s],
+                                topk=(20, 50, 100), topk_each=te,
+                                num_rel_classes=num_rel_classes,
+                                evaluate=mode, valid_edges=ev)
+                            sr_acc[f"{name}_{tag}"].append(
+                                scene_recall_topk(**common))
+                            sr_cls[f"{name}_{tag}"].append(
+                                scene_recall_topk(per_class=True, **common))
                 if with_scores:
                     sub_scores.append(t3["sub_scores"])
                     obj_scores.append(t3["obj_scores"])
@@ -164,6 +193,22 @@ def evaluate(
 
     if train_triplet_vocab is not None:
         metrics.update(get_zero_shot_recall(arr["topk_triplet"], cls_matrix, train_triplet_vocab))
+
+    if scene_recall:
+        ks = (20, 50, 100)
+        for key, vals in sr_acc.items():
+            stacked = np.stack(vals) if vals else np.full((1, len(ks)), np.nan)
+            for i, k in enumerate(ks):
+                metrics[f"{key}_recall_{k}"] = float(np.nanmean(stacked[:, i]) * 100)
+        for key, vals in sr_cls.items():
+            stacked = (np.stack(vals) if vals
+                       else np.full((1, num_rel_classes, len(ks)), -1.0))
+            masked = np.where(stacked >= 0, stacked, np.nan)  # -1 = class absent
+            with np.errstate(invalid="ignore"):
+                cls_mean = np.nanmean(masked, axis=0)  # (R, ks)
+                for i, k in enumerate(ks):
+                    metrics[f"{key}_mean_recall_{k}"] = float(
+                        np.nanmean(cls_mean[:, i]) * 100)
 
     if save_dir is not None:
         os.makedirs(save_dir, exist_ok=True)

@@ -64,17 +64,51 @@ def scene_recall_topk(
     topk_each: int = 100,
     num_rel_classes: int = 26,
     per_class: bool = False,
+    evaluate: str = "triplet",
+    valid_edges: "int | None" = None,
 ):
-    """Scene-level R@K (or per-class matrix when per_class=True)."""
-    conf, cube_idx = per_edge_topk(
-        jnp.asarray(obj_logits), jnp.asarray(rel_probs), jnp.asarray(edge_index),
-        topk_each=topk_each,
-    )
-    conf = np.asarray(conf).reshape(-1)
-    cube_idx = np.asarray(cube_idx).reshape(-1)
+    """Scene-level R@K (or per-class matrix when per_class=True).
+
+    ``evaluate`` selects the reference's two protocols
+    (eval_utils_recall.py:7-112, used by the in21k ``process_val2/3``,
+    model_in21k.py:441-512):
+
+      * "triplet" (sgcls): candidates are ranked by the
+        sub*obj*predicate confidence product and a hit requires the exact
+        GT (sub_cls, obj_cls, predicate);
+      * "rels" (predcls): candidates are ranked by the predicate
+        confidence alone and a hit requires only the GT predicate.
+
+    ``topk_each=1`` is the graph-constrained variant, ``topk_each>=R``
+    (reference uses 100) the unconstrained one.
+
+    ``valid_edges``: with padded inputs, only the first ``valid_edges``
+    edge rows are real — the device pass runs at the full padded shape
+    (so jit compilations stay bounded by the bucket count) and padding is
+    dropped on the host.
+    """
     e_cnt, nrel = rel_probs.shape
     c = obj_logits.shape[-1]
-    edge_ids = np.repeat(np.arange(e_cnt), min(topk_each, c * c * nrel))
+    ev = e_cnt if valid_edges is None else int(valid_edges)
+    if evaluate == "triplet":
+        conf2, idx2 = per_edge_topk(
+            jnp.asarray(obj_logits), jnp.asarray(rel_probs),
+            jnp.asarray(edge_index), topk_each=topk_each,
+        )
+        conf2 = np.asarray(conf2)  # (E, k)
+        idx2 = np.asarray(idx2).astype(np.int64)
+    elif evaluate == "rels":
+        k = min(topk_each, nrel)
+        # predicate-only candidates; the match condition ignores classes
+        idx2 = np.argsort(-rel_probs, axis=-1, kind="stable")[:, :k].astype(np.int64)
+        conf2 = np.take_along_axis(rel_probs, idx2, axis=-1)
+    else:
+        raise ValueError(f"unknown evaluate mode {evaluate!r}")
+    k_per = conf2.shape[1]
+    conf = conf2[:ev].reshape(-1)
+    cube_idx = idx2[:ev].reshape(-1)
+    edge_ids = np.repeat(np.arange(ev), k_per)
+    gt_rels = gt_rels[:ev]
 
     kmax = int(max(topk))
     order = np.argsort(-conf, kind="stable")[:kmax]
@@ -94,10 +128,14 @@ def scene_recall_topk(
 
     done = [set() for _ in topk]
     for rank, (e, idx) in enumerate(zip(sel_edges, sel_idx)):
-        i = idx // (c * nrel)
-        j = (idx // nrel) % c
-        rl = idx % nrel
-        if sub_cls[e] == i and obj_cls[e] == j and gt_rels[e, rl] > 0:
+        if evaluate == "rels":
+            hit = gt_rels[e, idx] > 0
+        else:
+            i = idx // (c * nrel)
+            j = (idx // nrel) % c
+            rl = idx % nrel
+            hit = sub_cls[e] == i and obj_cls[e] == j and gt_rels[e, rl] > 0
+        if hit:
             for t, k in enumerate(topk):
                 if rank < k and e not in done[t]:
                     if per_class:

@@ -275,6 +275,8 @@ class Runner:
             save_dir=save_dir, with_scores=with_scores,
             total=len(self.valid_scenes),
             multi_rel=self.cfg.MODEL.multi_rel_outputs,
+            # in21k process_val2/3 protocol (scene-level R@K / mR@K)
+            scene_recall=bool(self.cfg.get("SCENE_RECALL", False)),
         )
         for k, v in metrics.items():
             print(f"Eval: {k}: {v}")
