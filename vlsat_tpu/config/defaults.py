@@ -72,5 +72,12 @@ DEFAULT_CONFIG = {
         "use_data_augmentation": False,
         "node_buckets": [4, 8, 12, 16, 24, 32, 48, 64],
         "with_union_points": False,    # only the SGPN-style configs need them
+        # runtime BFS subgraph sampling (reference config/mmgnet.json:79-83,
+        # consumed by the legacy util_data.py data_preparation path)
+        "sample_in_runtime": False,
+        "sample_num_nn": 2,
+        "sample_num_seed": 4,
+        "max_edges": -1,
+        "neighbor_radius": 0.5,
     },
 }

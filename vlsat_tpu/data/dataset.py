@@ -62,6 +62,12 @@ class SSGScenes:
         use_native: bool = True,
         all_edges: bool = True,
         use_data_augmentation: bool = False,
+        sample_in_runtime: bool = False,
+        sample_num_nn: int = 1,
+        sample_num_seed: int = 1,
+        sample_use_all: bool = False,
+        max_edges: int = -1,
+        neighbor_radius: float = 0.5,
     ):
         self.scans_root = scans_root
         self.label_file = label_file
@@ -75,8 +81,21 @@ class SSGScenes:
         self.triplet_text_lookup = triplet_text_lookup
         self.all_edges = all_edges
         self.use_data_augmentation = use_data_augmentation
+        # runtime BFS subgraph sampling (utils/util_data.py:61-95; config
+        # keys sample_in_runtime / sample_num_nn / sample_num_seed /
+        # max_edges, config/mmgnet.json:79-83)
+        self.sample_in_runtime = sample_in_runtime
+        self.sample_num_nn = sample_num_nn
+        self.sample_num_seed = sample_num_seed
+        self.sample_use_all = sample_use_all
+        self.max_edges = max_edges
+        self.neighbor_radius = neighbor_radius
+        self._neighbor_cache: Dict[str, Dict[int, set]] = {}
 
         data = load_relationship_json(root, split)
+        # ScanNet-style relationship JSONs carry a precomputed neighbor
+        # graph per scan (gen_data_scannet.py writes 'neighbors')
+        self._neighbors_json = data.get("neighbors", {}) if isinstance(data, dict) else {}
         self.index: DatasetIndex = build_index(root, split, data=data,
                                                multi_rel=multi_rel, label_file=label_file)
         self.class_names = self.index.class_names
@@ -132,6 +151,26 @@ class SSGScenes:
             self._mesh_cache.popitem(last=False)
         return mesh
 
+    # ------------------------------------------------------------- neighbors
+    def _neighbor_graph(self, scan: str, points: np.ndarray,
+                        instances: np.ndarray) -> Dict[int, set]:
+        """Segment-neighbor graph for runtime sampling: the precomputed
+        'neighbors' entry of the relationships JSON when present (the
+        ScanNet generator writes one), else computed from point proximity
+        (preprocess/gen_data.py) and memoized per scan."""
+        if scan in self._neighbor_cache:
+            return self._neighbor_cache[scan]
+        if scan in self._neighbors_json:
+            nns = {int(k): set(int(x) for x in v)
+                   for k, v in self._neighbors_json[scan].items()}
+        else:
+            from vlsat_tpu.preprocess.gen_data import build_neighbor_graph
+
+            nns = build_neighbor_graph(points, instances,
+                                       radius=self.neighbor_radius)
+        self._neighbor_cache[scan] = nns
+        return nns
+
     # ----------------------------------------------------------------- scene
     def prepare(self, i: int, rng: np.random.RandomState) -> Dict[str, np.ndarray]:
         ann = self.index.scenes[i]
@@ -150,6 +189,25 @@ class SSGScenes:
         n = len(nodes)
         if n == 0:
             raise ValueError(f"{ann.scan_id}: no annotated instance present in mesh")
+
+        sampled_edges = None  # instance-id pairs when sampling in runtime
+        if self.sample_in_runtime:
+            from vlsat_tpu.data.sampling import (
+                bfs_neighbor_selection, edges_from_selection, subsample_edges)
+
+            nns = self._neighbor_graph(ann.scan, points, instances)
+            if self.sample_use_all:
+                selection = list(nodes)
+            else:
+                selection = sorted(bfs_neighbor_selection(
+                    nns, nodes, self.sample_num_nn, self.sample_num_seed, rng))
+                if not selection:
+                    selection = list(nodes)  # degenerate draw: keep the scene usable
+            sampled_edges = subsample_edges(
+                edges_from_selection(selection, nns, rng=rng),
+                self.max_edges, rng)
+            nodes = [iid for iid in nodes if iid in set(selection)]
+            n = len(nodes)
 
         obj_2d = np.zeros((n, self.feat_dim), np.float32)
         gt_class = np.zeros((n,), np.int32)
@@ -179,7 +237,13 @@ class SSGScenes:
                 )
                 obj_2d[k] = np.load(fp)
 
-        if self.all_edges:
+        if sampled_edges is not None:
+            pos = {iid: k for k, iid in enumerate(nodes)}
+            pairs = [(pos[a], pos[b]) for a, b in sampled_edges
+                     if a in pos and b in pos]
+            edge_index = (np.asarray(pairs, np.int32).reshape(-1, 2)
+                          if pairs else np.zeros((0, 2), np.int32))
+        elif self.all_edges:
             edge_index = full_edge_index(n)
         else:
             # annotated-pairs-only edges (the reference's all_edge=False

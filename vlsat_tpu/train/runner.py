@@ -93,6 +93,13 @@ class Runner:
                 split="train_scans",
                 use_data_augmentation=d.get("use_data_augmentation", False),
                 triplet_text_lookup=text_lookup,
+                # runtime BFS subgraph sampling is a train-time capability
+                # (the eval protocol needs full graphs)
+                sample_in_runtime=d.get("sample_in_runtime", False),
+                sample_num_nn=d.get("sample_num_nn", 2),
+                sample_num_seed=d.get("sample_num_seed", 4),
+                max_edges=d.get("max_edges", -1),
+                neighbor_radius=d.get("neighbor_radius", 0.5),
                 **common)
         self.valid_scenes = SSGScenes(split="validation_scans", **common)
 
