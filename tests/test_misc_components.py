@@ -109,3 +109,36 @@ def test_rel_predictor_multi2():
     out = np.asarray(m.apply(v, x))
     assert out.shape == (2, 5, 7)
     assert (out > 0).all() and (out < 1).all()
+
+
+def test_transformer_utils_oracle():
+    """position_embedding / sinusoid table vs the reference torch formula
+    (transformer/utils.py:6-25), FFN residual+post-norm behavior."""
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from vlsat_tpu.models.transformer import (
+        PositionWiseFeedForward, position_embedding, sinusoid_encoding_table)
+
+    d_model, max_len = 64, 17
+    pos = torch.arange(max_len, dtype=torch.float32).view(-1, 1)
+    dim = torch.arange(d_model // 2, dtype=torch.float32).view(1, -1)
+    want = torch.zeros((max_len, d_model))
+    want[:, ::2] = torch.sin(pos / 10000 ** (2 * dim / d_model))
+    want[:, 1::2] = torch.cos(pos / 10000 ** (2 * dim / d_model))
+    got = np.asarray(position_embedding(jnp.arange(max_len), d_model))
+    np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-6)
+
+    table = np.asarray(sinusoid_encoding_table(max_len, d_model, padding_idx=0))
+    assert (table[0] == 0).all()
+    np.testing.assert_allclose(table[1:], want.numpy()[1:], rtol=1e-6, atol=1e-6)
+
+    ffn = PositionWiseFeedForward(d_model=16, d_ff=32)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 16), jnp.float32)
+    v = ffn.init(jax.random.PRNGKey(0), x)
+    y = ffn.apply(v, x)
+    assert y.shape == x.shape
+    # post-norm: output rows are LayerNorm'd -> ~zero mean, unit variance
+    np.testing.assert_allclose(np.asarray(y).mean(-1), 0.0, atol=1e-5)

@@ -47,6 +47,45 @@ class MultiHeadAttention(nn.Module):
         return nn.LayerNorm(name="layer_norm")(q + out)
 
 
+def position_embedding(positions: jnp.ndarray, d_model: int) -> jnp.ndarray:
+    """Sinusoid position embedding (reference transformer/utils.py:6-16;
+    dead code in the shipped configs, kept for surface parity): even
+    channels sin, odd channels cos, frequency 10000^(2i/d)."""
+    pos = positions.reshape(-1, 1).astype(jnp.float32)
+    dim = jnp.arange(d_model // 2, dtype=jnp.float32).reshape(1, -1)
+    angle = pos / jnp.power(10000.0, 2 * dim / d_model)
+    out = jnp.zeros((pos.shape[0], d_model), jnp.float32)
+    out = out.at[:, ::2].set(jnp.sin(angle))
+    out = out.at[:, 1::2].set(jnp.cos(angle))
+    return out
+
+
+def sinusoid_encoding_table(max_len: int, d_model: int,
+                            padding_idx: int | None = None) -> jnp.ndarray:
+    """(max_len, d_model) table (transformer/utils.py:19-25)."""
+    out = position_embedding(jnp.arange(max_len), d_model)
+    if padding_idx is not None:
+        out = out.at[padding_idx].set(0.0)
+    return out
+
+
+class PositionWiseFeedForward(nn.Module):
+    """Post-norm residual FFN (transformer/utils.py:27-49).  Unused by the
+    shipped reference configs; provided for the transformer surface."""
+
+    d_model: int = 512
+    d_ff: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = nn.relu(nn.Dense(self.d_ff, name="fc1")(x))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.d_model, name="fc2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(name="layer_norm")(x + h)
+
+
 class DistanceBiasMLP(nn.Module):
     """[Δxyz, dist] -> per-head additive attention bias.
 
