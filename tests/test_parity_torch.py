@@ -142,6 +142,52 @@ def test_sgfn_parity():
                                    rtol=RTOL, atol=ATOL, err_msg=key)
 
 
+def test_triplet_gcn_parity():
+    """TripletGCN block vs the reference semantics (source_to_target flow,
+    sum aggregation onto the target, BN placements), eval mode."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.interop.torch_import import import_triplet_gcn
+    from vlsat_tpu.interop.torch_oracle import _TripletGCN
+    from vlsat_tpu.models.gnn import TripletGCN
+    from vlsat_tpu.scene import full_edge_index
+
+    torch.manual_seed(5)
+    twin = _TripletGCN(dim_node=32, dim_edge=16, dim_hidden=64).eval()
+    # non-trivial BN running stats
+    g = torch.Generator().manual_seed(6)
+    for m in twin.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    variables = import_triplet_gcn(sd)
+
+    rng = np.random.RandomState(2)
+    n, bucket = 6, 8
+    ei_v = full_edge_index(n)
+    ev, e_max = len(ei_v), edge_count(bucket)
+    x = rng.randn(1, bucket, 32).astype(np.float32)
+    e_feat = rng.randn(1, e_max, 16).astype(np.float32)
+    ei = np.zeros((1, e_max, 2), np.int32)
+    ei[0, :ev] = ei_v
+    em = np.zeros((1, e_max), bool)
+    em[0, :ev] = True
+
+    mod = TripletGCN(dim_node=32, dim_edge=16, dim_hidden=64)
+    x_new, e_new = mod.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), jnp.asarray(e_feat), jnp.asarray(ei), jnp.asarray(em),
+        deterministic=True)
+    with torch.no_grad():
+        xr, er = twin(torch.from_numpy(x[0, :n]), torch.from_numpy(e_feat[0, :ev]),
+                      torch.from_numpy(ei_v).long())
+    np.testing.assert_allclose(np.asarray(x_new)[0, :n], xr.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="node update")
+    np.testing.assert_allclose(np.asarray(e_new)[0, :ev], er.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="edge update")
+
+
 @pytest.mark.parametrize("nn_edge_mode", ["edge", "onehot", "gather"])
 def test_gean_block_parity_two_scenes(nn_edge_mode):
     """The fat-attention GCN layer in isolation, 2 scenes padded vs looped.

@@ -55,6 +55,9 @@ DEFAULT_CONFIG = {
         "use_descriptor": True,
         "use_pretrain": "",
         "adapter_alpha": 0.5,
+        # nn_edge node-projection placement: "edge" | "gather" | "onehot"
+        # (algebraically identical; see models/gnn.py + PERFORMANCE.md)
+        "nn_edge_mode": "edge",
         # CLIP assets: pre-computed text tables (see vlsat_tpu.clipsem)
         "obj_text_table": None,
         "rel_text_table": None,

@@ -187,6 +187,36 @@ def import_mmgnet(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
     return {"params": params, "batch_stats": batch_stats}
 
 
+def _batchnorm(sd, prefix) -> Dict[str, Dict[str, np.ndarray]]:
+    """torch BatchNorm1d -> (params{scale,bias}, batch_stats{mean,var})."""
+    return (
+        {"scale": _v(sd[f"{prefix}.weight"]), "bias": _v(sd[f"{prefix}.bias"])},
+        {"mean": _v(sd[f"{prefix}.running_mean"]),
+         "var": _v(sd[f"{prefix}.running_var"])},
+    )
+
+
+def import_triplet_gcn(sd: Mapping[str, np.ndarray], prefix: str = "") -> Dict[str, Any]:
+    """TripletGCN (network_TripletGCN.py:43-71) -> models.gnn.TripletGCN.
+
+    nn1 Sequential indices (build_mlp on_last=True): Linear0, BN1, ReLU2,
+    Linear3, BN4, ReLU5; nn2 (on_last=False): Linear0, BN1, ReLU2, Linear3.
+    Returns {"params": ..., "batch_stats": ...}.
+    """
+    p = f"{prefix}." if prefix else ""
+    params: Dict[str, Any] = {
+        "nn1_fc0": _dense(sd, f"{p}nn1.0"),
+        "nn1_fc1": _dense(sd, f"{p}nn1.3"),
+        "nn2_fc0": _dense(sd, f"{p}nn2.0"),
+        "nn2_fc1": _dense(sd, f"{p}nn2.3"),
+    }
+    stats: Dict[str, Any] = {}
+    for name, idx in (("nn1_bn0", "nn1.1"), ("nn1_bn1", "nn1.4"),
+                      ("nn2_bn0", "nn2.1")):
+        params[name], stats[name] = _batchnorm(sd, f"{p}{idx}")
+    return {"params": params, "batch_stats": stats}
+
+
 def import_mmgnet_single(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
                          depth: int = 2) -> Dict[str, Any]:
     """Assemble flax variables for models.variants.MMGNetSingle from the

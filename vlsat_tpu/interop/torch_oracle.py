@@ -427,6 +427,38 @@ class TorchSGFNOracle(nn.Module):
                     rel_cls_3d=self.rel_predictor(e))
 
 
+class _TripletGCN(nn.Module):
+    """Reference ``TripletGCN`` (network_TripletGCN.py:43-71), PyG-free.
+
+    flow is PyG's default source_to_target: x_i is the TARGET
+    (edge_index[:, 1]), x_j the source, and messages aggregate (sum) onto
+    the target.  nn1 has BN+ReLU after every layer (on_last=True), nn2
+    between layers only; run in eval() mode (BN running stats)."""
+
+    def __init__(self, dim_node=32, dim_edge=16, dim_hidden=64):
+        super().__init__()
+        self.dh, self.de = dim_hidden, dim_edge
+        self.nn1 = nn.Sequential(
+            nn.Linear(2 * dim_node + dim_edge, dim_hidden),
+            nn.BatchNorm1d(dim_hidden), nn.ReLU(),
+            nn.Linear(dim_hidden, 2 * dim_hidden + dim_edge),
+            nn.BatchNorm1d(2 * dim_hidden + dim_edge), nn.ReLU())
+        self.nn2 = nn.Sequential(
+            nn.Linear(dim_hidden, dim_hidden), nn.BatchNorm1d(dim_hidden),
+            nn.ReLU(), nn.Linear(dim_hidden, dim_node))
+
+    def forward(self, x, e, ei):
+        x_i = x.index_select(0, ei[:, 1])
+        x_j = x.index_select(0, ei[:, 0])
+        m = self.nn1(torch.cat([x_i, e, x_j], dim=1))
+        new_i = m[:, :self.dh]
+        new_e = m[:, self.dh:self.dh + self.de]
+        new_j = m[:, self.dh + self.de:]
+        msg = new_i + new_j
+        agg = torch.zeros(x.shape[0], self.dh).index_add_(0, ei[:, 1], msg)
+        return x + self.nn2(agg), new_e
+
+
 def _child_state_dicts(model: nn.Module, names) -> Dict[str, Dict[str, np.ndarray]]:
     return {
         n: {k: v.detach().cpu().numpy() for k, v in getattr(model, n).state_dict().items()}

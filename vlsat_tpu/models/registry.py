@@ -35,6 +35,7 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
             use_spatial=mcfg.USE_SPATIAL, clip_feat_dim=mcfg.clip_feat_dim,
             adapter_alpha=mcfg.adapter_alpha,
             multi_rel_outputs=mcfg.multi_rel_outputs,
+            nn_edge_mode=mcfg.get("nn_edge_mode", "edge"),
         )
         from functools import partial
 
