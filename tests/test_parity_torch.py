@@ -229,3 +229,89 @@ def test_gean_block_parity_two_scenes(nn_edge_mode):
         np.testing.assert_allclose(
             np.asarray(e_new)[b, :e], er.numpy(), rtol=RTOL, atol=ATOL,
             err_msg=f"edge update, scene {b}")
+
+
+def test_edgegcn_parity():
+    """SGGpoint EdgeGCN (GCNConv streams + edge/node gates) vs a PyG-free
+    torch twin, padded scene vs flat graph, eval mode."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.interop.torch_import import _dense
+    from vlsat_tpu.interop.torch_oracle import _EdgeGCN
+    from vlsat_tpu.models.sggpoint import EdgeGCN
+    from vlsat_tpu.scene import full_edge_index
+
+    torch.manual_seed(8)
+    dim, n, bucket = 64, 6, 8
+    twin = _EdgeGCN(dim=dim).eval()
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    params = {
+        "edge_attentionND": _dense(sd, "edge_attentionND"),
+        "node_GConv1_fc": _dense(sd, "node_GConv1.lin"),
+        "node_GConv2_fc": _dense(sd, "node_GConv2.lin"),
+        "node_attentionND": _dense(sd, "node_attentionND"),
+        "node_indicator_reduction": _dense(sd, "node_indicator_reduction"),
+        "edge_MLP1_fc": _dense(sd, "edge_MLP1"),
+        "edge_MLP2_fc": _dense(sd, "edge_MLP2"),
+    }
+
+    rng = np.random.RandomState(4)
+    ei_v = full_edge_index(n)
+    ev, e_max = len(ei_v), edge_count(bucket)
+    x = rng.randn(1, bucket, dim).astype(np.float32)
+    e = rng.randn(1, e_max, dim).astype(np.float32)
+    ei = np.zeros((1, e_max, 2), np.int32)
+    ei[0, :ev] = ei_v
+    em = np.zeros((1, e_max), bool)
+    em[0, :ev] = True
+
+    x_new, e_new = EdgeGCN(dim=dim).apply(
+        {"params": params}, jnp.asarray(x), jnp.asarray(e), jnp.asarray(ei),
+        jnp.asarray(em), deterministic=True)
+    with torch.no_grad():
+        xr, er = twin(torch.from_numpy(x[0, :n]), torch.from_numpy(e[0, :ev]),
+                      torch.from_numpy(ei_v.T).long())
+    np.testing.assert_allclose(np.asarray(x_new)[0, :n], xr.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="nodes")
+    np.testing.assert_allclose(np.asarray(e_new)[0, :ev], er.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="edges")
+
+
+def test_dgcnn_backbone_parity():
+    """DGCNN EdgeConv chain (kNN graph features, BN eval, max pools) vs the
+    official-layout torch twin."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.interop.torch_oracle import _DGCNN
+    from vlsat_tpu.models.sggpoint import DGCNN
+
+    torch.manual_seed(9)
+    n, p, k, emb = 3, 24, 8, 64
+    twin = _DGCNN(input_channel=3, embeddings=emb, k=k).eval()
+    g = torch.Generator().manual_seed(10)
+    for m in twin.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+    sd = {key: v.detach().numpy() for key, v in twin.state_dict().items()}
+
+    params, stats = {}, {}
+    for i in range(1, 6):
+        w = sd[f"conv{i}.0.weight"]
+        w = w.reshape(w.shape[0], w.shape[1])  # Conv k=1 -> (out, in)
+        params[f"conv{i}_fc"] = {"kernel": w.T.astype(np.float32)}
+        params[f"conv{i}_bn"] = {"scale": sd[f"conv{i}.1.weight"],
+                                 "bias": sd[f"conv{i}.1.bias"]}
+        stats[f"conv{i}_bn"] = {"mean": sd[f"conv{i}.1.running_mean"],
+                                "var": sd[f"conv{i}.1.running_var"]}
+
+    rng = np.random.RandomState(6)
+    pts = rng.randn(1, n, p, 3).astype(np.float32)
+    out = DGCNN(embeddings=emb, k=k).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(pts), jnp.ones((1, n), bool), deterministic=True)
+    with torch.no_grad():
+        ref = twin(torch.from_numpy(pts[0]).permute(0, 2, 1))  # (n, C, P)
+    np.testing.assert_allclose(
+        np.asarray(out)[0], ref.permute(0, 2, 1).numpy(),
+        rtol=RTOL, atol=ATOL)

@@ -459,6 +459,102 @@ class _TripletGCN(nn.Module):
         return x + self.nn2(agg), new_e
 
 
+def _dgcnn_graph_feature(x, k):
+    """Reference knn + get_graph_feature (SGGpoint/model.py:62-95), minus
+    the hard-coded .cuda(): x (M, C, P) -> (M, 2C, P, k)."""
+    inner = -2 * torch.matmul(x.transpose(2, 1), x)
+    xx = torch.sum(x ** 2, dim=1, keepdim=True)
+    idx = (-xx - inner - xx.transpose(2, 1)).topk(k=k, dim=-1)[1]
+    m, c, p = x.shape
+    base = torch.arange(m).view(-1, 1, 1) * p
+    flat = (idx + base).view(-1)
+    xt = x.transpose(2, 1).contiguous()
+    feat = xt.reshape(m * p, -1)[flat].view(m, p, k, c)
+    ctr = xt.view(m, p, 1, c).expand(-1, -1, k, -1)
+    return torch.cat((feat - ctr, ctr), dim=3).permute(0, 3, 1, 2).contiguous()
+
+
+class _DGCNN(nn.Module):
+    """Official DGCNN backbone twin (SGGpoint/model.py:97-127); eval mode."""
+
+    def __init__(self, input_channel=3, embeddings=512, k=20):
+        super().__init__()
+        self.k = k
+        mk = lambda cin, cout, conv: nn.Sequential(
+            conv(cin, cout, kernel_size=1, bias=False),
+            (nn.BatchNorm2d if conv is nn.Conv2d else nn.BatchNorm1d)(cout),
+            nn.LeakyReLU(negative_slope=0.2))
+        self.conv1 = mk(input_channel * 2, 64, nn.Conv2d)
+        self.conv2 = mk(64 * 2, 64, nn.Conv2d)
+        self.conv3 = mk(64 * 2, 128, nn.Conv2d)
+        self.conv4 = mk(128 * 2, 256, nn.Conv2d)
+        self.conv5 = mk(512, embeddings, nn.Conv1d)
+
+    def forward(self, x):  # (M, C, P)
+        x1 = self.conv1(_dgcnn_graph_feature(x, self.k)).max(dim=-1).values
+        x2 = self.conv2(_dgcnn_graph_feature(x1, self.k)).max(dim=-1).values
+        x3 = self.conv3(_dgcnn_graph_feature(x2, self.k)).max(dim=-1).values
+        x4 = self.conv4(_dgcnn_graph_feature(x3, self.k)).max(dim=-1).values
+        return self.conv5(torch.cat((x1, x2, x3, x4), dim=1))  # (M, emb, P)
+
+
+class _GCNConv(nn.Module):
+    """PyG ``GCNConv(add_self_loops=True)`` equivalent: symmetric
+    normalization with degrees from the target column + self loops,
+    messages source -> target, bias after aggregation."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.lin = nn.Linear(cin, cout, bias=True)
+
+    def forward(self, x, ei):  # x (N, C); ei (2, E) rows [source, target]
+        n = x.shape[0]
+        deg = torch.zeros(n).index_add_(
+            0, ei[1], torch.ones(ei.shape[1])) + 1.0
+        norm = deg[ei[0]].rsqrt() * deg[ei[1]].rsqrt()
+        agg = torch.zeros_like(x).index_add_(0, ei[1], x[ei[0]] * norm[:, None])
+        agg = agg + x / deg[:, None]
+        return self.lin(agg)
+
+
+class _EdgeGCN(nn.Module):
+    """EdgeGCN twin (SGGpoint/model.py:136-206), PyG/torch-scatter-free;
+    eval mode (dropout off)."""
+
+    def __init__(self, dim=512):
+        super().__init__()
+        mid = dim // 2
+        self.node_GConv1 = _GCNConv(dim, mid)
+        self.node_GConv2 = _GCNConv(mid, dim)
+        self.edge_MLP1 = nn.Linear(dim, mid)
+        self.edge_MLP2 = nn.Linear(mid, dim)
+        self.edge_attentionND = nn.Linear(dim, mid)
+        self.node_attentionND = nn.Linear(dim, mid)
+        self.node_indicator_reduction = nn.Linear(dim, mid)
+
+    def forward(self, x, e, ei):  # x (N, D); e (E, D); ei (2, E)
+        n = x.shape[0]
+        ind = self.edge_attentionND(e)  # (E, mid)
+        cnt_row = torch.zeros(n).index_add_(0, ei[0], torch.ones(ei.shape[1]))
+        cnt_col = torch.zeros(n).index_add_(0, ei[1], torch.ones(ei.shape[1]))
+        row = torch.zeros(n, ind.shape[1]).index_add_(0, ei[0], ind) \
+            / cnt_row.clamp(min=1)[:, None]
+        col = torch.zeros(n, ind.shape[1]).index_add_(0, ei[1], ind) \
+            / cnt_col.clamp(min=1)[:, None]
+        gate = torch.sigmoid(row * col)
+
+        h = F.relu(self.node_GConv1(x, ei)) * gate
+        x_new = F.relu(self.node_GConv2(h, ei))
+
+        nind = F.relu(self.node_attentionND(x_new))
+        pair = torch.cat([nind[ei[0]], nind[ei[1]]], dim=-1)
+        node_gate = torch.sigmoid(self.node_indicator_reduction(pair))
+
+        he = F.relu(self.edge_MLP1(e)) * node_gate
+        e_new = F.relu(self.edge_MLP2(he))
+        return x_new, e_new
+
+
 def _child_state_dicts(model: nn.Module, names) -> Dict[str, Dict[str, np.ndarray]]:
     return {
         n: {k: v.detach().cpu().numpy() for k, v in getattr(model, n).state_dict().items()}
