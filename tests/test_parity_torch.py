@@ -315,3 +315,143 @@ def test_dgcnn_backbone_parity():
     np.testing.assert_allclose(
         np.asarray(out)[0], ref.permute(0, 2, 1).numpy(),
         rtol=RTOL, atol=ATOL)
+
+
+def test_flagship_parity_single_label():
+    """multi_rel_outputs=False: the PointNetRelCls log_softmax head path
+    (single-label mode, reference config multi_rel_outputs)."""
+    n, bucket, seed = 9, 12, 11
+    batch = make_batch(seed=seed, node_counts=(n,), num_points=32,
+                       bucket=bucket, num_rel_classes=27)
+    torch.manual_seed(seed)
+    oracle = TorchMmgnetOracle(num_rel=27, multi_rel=False).eval()
+    variables = import_mmgnet(module_state_dicts(oracle))
+    model = MMGNet(cfg=MMGNetConfig(num_rel_classes=27, multi_rel_outputs=False))
+    with torch.no_grad():
+        ref = oracle(istrain=False, **_unpadded(batch, n))
+    out = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        batch, istrain=False)
+    e = edge_count(n)
+    for key, k in [("obj_logits_3d", n), ("rel_cls_3d", e), ("rel_cls_2d", e)]:
+        np.testing.assert_allclose(np.asarray(out[key])[0, :k], ref[key].numpy(),
+                                   rtol=RTOL, atol=ATOL, err_msg=key)
+
+
+def _gcn_stack_params(sd, depth):
+    return {f"gcn_{i}": import_gean(sd, f"gcns.{i}") for i in range(depth)}
+
+
+def test_mmg_teacher_core_parity():
+    """MMG_teacher core: 4-way attention, fusion MLP (BN eval), GCN stack."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.interop.torch_import import (
+        _batchnorm, _dense, import_dist_mlp, import_mha)
+    from vlsat_tpu.interop.torch_oracle import _MMGTeacherCore
+    from vlsat_tpu.models.mmteacher import MMGTeacherCore
+    from vlsat_tpu.scene import full_edge_index
+
+    torch.manual_seed(12)
+    depth = 2
+    twin = _MMGTeacherCore(depth=depth).eval()
+    g = torch.Generator().manual_seed(13)
+    for m in twin.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+
+    params = {
+        "self_attn_fc": import_dist_mlp(sd, "self_attn_fc"),
+        "self_attn_3d": import_mha(sd, "self_attn_3d"),
+        "self_attn_2d": import_mha(sd, "self_attn_2d"),
+        "cross_attn_3d": import_mha(sd, "cross_attn_3d"),
+        "cross_attn_2d": import_mha(sd, "cross_attn_2d"),
+        "fusion_fc0": _dense(sd, "fusion_module.0"),
+        "fusion_fc1": _dense(sd, "fusion_module.4"),
+        "gcns": _gcn_stack_params(sd, depth),
+    }
+    stats = {}
+    params["fusion_bn0"], stats["fusion_bn0"] = _batchnorm(sd, "fusion_module.2")
+    params["fusion_bn1"], stats["fusion_bn1"] = _batchnorm(sd, "fusion_module.6")
+
+    rng = np.random.RandomState(3)
+    n, bucket = 7, 8
+    ei_v = full_edge_index(n)
+    ev, e_max = len(ei_v), edge_count(bucket)
+    f3d = rng.randn(1, bucket, 512).astype(np.float32)
+    f2d = rng.randn(1, bucket, 512).astype(np.float32)
+    e = rng.randn(1, e_max, 512).astype(np.float32)
+    centers = rng.randn(1, bucket, 3).astype(np.float32)
+    ei = np.zeros((1, e_max, 2), np.int32)
+    ei[0, :ev] = ei_v
+    em = np.zeros((1, e_max), bool)
+    em[0, :ev] = True
+    om = np.zeros((1, bucket), bool)
+    om[0, :n] = True
+
+    obj, e_new, mimic = MMGTeacherCore(depth=depth).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(f3d), jnp.asarray(f2d), jnp.asarray(e), jnp.asarray(ei),
+        jnp.asarray(om), jnp.asarray(em), jnp.asarray(centers),
+        deterministic=True)
+    ref_obj, ref_e, ref_mimic = twin(
+        torch.from_numpy(f3d[0, :n]), torch.from_numpy(f2d[0, :n]),
+        torch.from_numpy(e[0, :ev]), torch.from_numpy(ei_v).long(),
+        torch.from_numpy(centers[0, :n]))
+    np.testing.assert_allclose(np.asarray(obj)[0, :n], ref_obj.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="obj")
+    np.testing.assert_allclose(np.asarray(e_new)[0, :ev], ref_e.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="edge")
+    np.testing.assert_allclose(np.asarray(mimic)[0, :n], ref_mimic.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="mimic")
+
+
+def test_mmg_student_core_parity():
+    """MMG_student core: self-attn before (mimic tap) / after + GCN stack."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.interop.torch_import import import_dist_mlp, import_mha
+    from vlsat_tpu.interop.torch_oracle import _MMGStudentCore
+    from vlsat_tpu.models.mmteacher import MMGStudentCore
+    from vlsat_tpu.scene import full_edge_index
+
+    torch.manual_seed(14)
+    depth = 2
+    twin = _MMGStudentCore(depth=depth).eval()
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    params = {
+        "self_attn_fc": import_dist_mlp(sd, "self_attn_fc"),
+        "self_attn_before": import_mha(sd, "self_attn_before"),
+        "self_attn_after": import_mha(sd, "self_attn_after"),
+        "gcns": _gcn_stack_params(sd, depth),
+    }
+
+    rng = np.random.RandomState(5)
+    n, bucket = 6, 8
+    ei_v = full_edge_index(n)
+    ev, e_max = len(ei_v), edge_count(bucket)
+    f = rng.randn(1, bucket, 512).astype(np.float32)
+    e = rng.randn(1, e_max, 512).astype(np.float32)
+    centers = rng.randn(1, bucket, 3).astype(np.float32)
+    ei = np.zeros((1, e_max, 2), np.int32)
+    ei[0, :ev] = ei_v
+    em = np.zeros((1, e_max), bool)
+    em[0, :ev] = True
+    om = np.zeros((1, bucket), bool)
+    om[0, :n] = True
+
+    f_new, e_new, mimic = MMGStudentCore(depth=depth).apply(
+        {"params": params},
+        jnp.asarray(f), jnp.asarray(e), jnp.asarray(ei), jnp.asarray(om),
+        jnp.asarray(em), jnp.asarray(centers), deterministic=True)
+    ref_f, ref_e, ref_mimic = twin(
+        torch.from_numpy(f[0, :n]), torch.from_numpy(e[0, :ev]),
+        torch.from_numpy(ei_v).long(), torch.from_numpy(centers[0, :n]))
+    np.testing.assert_allclose(np.asarray(f_new)[0, :n], ref_f.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="nodes")
+    np.testing.assert_allclose(np.asarray(e_new)[0, :ev], ref_e.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="edges")
+    np.testing.assert_allclose(np.asarray(mimic)[0, :n], ref_mimic.numpy(),
+                               rtol=RTOL, atol=ATOL, err_msg="mimic")

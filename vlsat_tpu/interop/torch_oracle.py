@@ -190,10 +190,13 @@ class _MMG(nn.Module):
 
 
 class _RelPredictorMulti(nn.Module):
-    """PointNetRelClsMulti, batch_norm=False (network_PointNet.py:305-341)."""
+    """PointNetRelClsMulti / PointNetRelCls, batch_norm=False
+    (network_PointNet.py:305-341 / :250-301): identical trunk, sigmoid for
+    the multi-label head, log_softmax for the single-label one."""
 
-    def __init__(self, k: int, in_size: int = 512):
+    def __init__(self, k: int, in_size: int = 512, multi_label: bool = True):
         super().__init__()
+        self.multi_label = multi_label
         self.fc1 = nn.Linear(in_size, 512)
         self.fc2 = nn.Linear(512, 256)
         self.fc3 = nn.Linear(256, k)
@@ -201,7 +204,8 @@ class _RelPredictorMulti(nn.Module):
     def forward(self, x):
         x = F.relu(self.fc1(x))
         x = F.relu(self.fc2(x))  # dropout sits before this ReLU; eval -> off
-        return torch.sigmoid(self.fc3(x))
+        x = self.fc3(x)
+        return torch.sigmoid(x) if self.multi_label else F.log_softmax(x, dim=-1)
 
 
 class _Adapter(nn.Module):
@@ -220,15 +224,16 @@ class _Adapter(nn.Module):
 class TorchMmgnetOracle(nn.Module):
     """Reference ``Mmgnet`` forward twin; run in eval() mode."""
 
-    def __init__(self, num_obj=160, num_rel=26, depth=2, heads=8):
+    def __init__(self, num_obj=160, num_rel=26, depth=2, heads=8,
+                 multi_rel=True):
         super().__init__()
         self.obj_encoder = _PointNetfeat(3, 768)
         self.rel_encoder_2d = _PointNetfeat(11, 512)
         self.rel_encoder_3d = _PointNetfeat(11, 512)
         self.mmg = _MMG(depth=depth, heads=heads)
         self.clip_adapter = _Adapter()
-        self.rel_predictor_3d = _RelPredictorMulti(num_rel)
-        self.rel_predictor_2d = _RelPredictorMulti(num_rel)
+        self.rel_predictor_3d = _RelPredictorMulti(num_rel, multi_label=multi_rel)
+        self.rel_predictor_2d = _RelPredictorMulti(num_rel, multi_label=multi_rel)
         self.obj_predictor_3d = nn.Linear(512, num_obj)
         self.obj_predictor_2d = nn.Linear(512, num_obj)
         self.mlp_3d = nn.Sequential(
@@ -457,6 +462,90 @@ class _TripletGCN(nn.Module):
         msg = new_i + new_j
         agg = torch.zeros(x.shape[0], self.dh).index_add_(0, ei[:, 1], msg)
         return x + self.nn2(agg), new_e
+
+
+def _distance_bias(self_attn_fc, centers, heads):
+    """Single-scene distance bias (network_MMG.py:357-381 loop body)."""
+    k = centers.shape[0]
+    delta = centers[None, :, :].expand(k, k, 3) - centers[:, None, :].expand(k, k, 3)
+    dist = delta.pow(2).sum(-1, keepdim=True).sqrt()
+    w = self_attn_fc(torch.cat([delta, dist], -1).unsqueeze(0))
+    return w.permute(0, 3, 1, 2)  # (1, H, N, N)
+
+
+def _dist_mlp(heads=8):
+    return nn.Sequential(
+        nn.Linear(4, 32), nn.ReLU(), nn.LayerNorm(32),
+        nn.Linear(32, 32), nn.ReLU(), nn.LayerNorm(32), nn.Linear(32, heads))
+
+
+class _MMGTeacherCore(nn.Module):
+    """MMG_teacher twin (network_MMG.py:298-416): 4-way attention + fusion
+    MLP (Linear-ReLU-BN-Dropout-Linear-ReLU-BN) + GCN stack; eval mode."""
+
+    def __init__(self, dim=512, heads=8, depth=2):
+        super().__init__()
+        self.heads, self.depth = heads, depth
+        self.self_attn_3d = _MHA(dim, heads)
+        self.self_attn_2d = _MHA(dim, heads)
+        self.cross_attn_3d = _MHA(dim, heads)
+        self.cross_attn_2d = _MHA(dim, heads)
+        self.fusion_module = nn.Sequential(
+            nn.Linear(dim * 4, dim * 2), nn.ReLU(), nn.BatchNorm1d(dim * 2),
+            nn.Dropout(0.5), nn.Linear(dim * 2, dim), nn.ReLU(),
+            nn.BatchNorm1d(dim))
+        self.gcns = nn.ModuleList(
+            _GraphEdgeAttenNetwork(heads=heads) for _ in range(depth))
+        self.self_attn_fc = _dist_mlp(heads)
+
+    @torch.no_grad()
+    def forward(self, f3d, f2d, e, ei, centers):  # single scene, (N, D)
+        n = f3d.shape[0]
+        mask = torch.ones(1, 1, n, n)
+        bias = _distance_bias(self.self_attn_fc, centers, self.heads)
+        f3 = self.self_attn_3d(f3d.unsqueeze(0), f3d.unsqueeze(0),
+                               f3d.unsqueeze(0), bias, mask)
+        f2 = self.self_attn_2d(f2d.unsqueeze(0), f2d.unsqueeze(0),
+                               f2d.unsqueeze(0), bias, mask)
+        c3 = self.cross_attn_3d(f3, f2, f2, bias, mask)
+        c2 = self.cross_attn_2d(f2, f3, f3, bias, mask)
+        fused = torch.cat([f3[0], f2[0], c3[0], c2[0]], dim=-1)
+        obj = self.fusion_module(fused)
+        mimic = obj.clone()
+        for i in range(self.depth):
+            obj, e = self.gcns[i](obj, e, ei)
+            if i < self.depth - 1 or self.depth == 1:
+                obj, e = F.relu(obj), F.relu(e)
+        return obj, e, mimic
+
+
+class _MMGStudentCore(nn.Module):
+    """MMG_student twin (network_MMG.py:419-529): self-attn before (mimic
+    tap) and after, then the GCN stack; eval mode."""
+
+    def __init__(self, dim=512, heads=8, depth=2):
+        super().__init__()
+        self.heads, self.depth = heads, depth
+        self.self_attn_before = _MHA(dim, heads)
+        self.self_attn_after = _MHA(dim, heads)
+        self.gcns = nn.ModuleList(
+            _GraphEdgeAttenNetwork(heads=heads) for _ in range(depth))
+        self.self_attn_fc = _dist_mlp(heads)
+
+    @torch.no_grad()
+    def forward(self, f, e, ei, centers):
+        n = f.shape[0]
+        mask = torch.ones(1, 1, n, n)
+        bias = _distance_bias(self.self_attn_fc, centers, self.heads)
+        f = self.self_attn_before(f.unsqueeze(0), f.unsqueeze(0),
+                                  f.unsqueeze(0), bias, mask)
+        mimic = f[0].clone()
+        f = self.self_attn_after(f, f, f, bias, mask)[0]
+        for i in range(self.depth):
+            f, e = self.gcns[i](f, e, ei)
+            if i < self.depth - 1 or self.depth == 1:
+                f, e = F.relu(f), F.relu(e)
+        return f, e, mimic
 
 
 def _dgcnn_graph_feature(x, k):
