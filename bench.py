@@ -34,6 +34,14 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # production PRNG: rbg cuts dropout-mask generation ~4x on TPU
+    # (threefry costs ~1.2 ms of the 4.3 ms train step at B=8 — see
+    # PERFORMANCE.md); the runner defaults to the same (PRNG_IMPL config)
+    try:
+        jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:
+        pass
+
     # persistent compilation cache: a warm run takes ~55 s instead of ~225 s
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/vlsat_jax_cache")
     try:
@@ -80,12 +88,16 @@ def main():
         float(np.asarray(fn(n)))  # full sync
         return time.perf_counter() - t0
 
+    def slope(fn, n_lo, n_hi, reps=3):
+        """Median of repeated (t(n_hi)-t(n_lo))/(n_hi-n_lo) slopes — a
+        single slope can catch a multi-ms tunnel-sync outlier."""
+        return float(np.median(
+            [(timed(fn, n_hi) - timed(fn, n_lo)) / (n_hi - n_lo)
+             for _ in range(reps)]))
+
     ev = lambda n: eval_many(params, batch_stats, batch, n)
     with trace():  # set VLSAT_PROFILE_DIR to capture a kernel timeline
-        n_lo, n_hi = 8, 40
-        t_lo = timed(ev, n_lo)
-        t_hi = timed(ev, n_hi)
-    per_batch = (t_hi - t_lo) / (n_hi - n_lo)
+        per_batch = slope(ev, 8, 40)
     scenes_per_sec = batch_scenes / per_batch
 
     # ---- per-scene eval latency (B=1, carry-chained slope; percentiles over
@@ -93,13 +105,17 @@ def main():
     # host/tunnel round trip, not device latency) --------------------------
     batch1 = make_batch(seed=2, node_counts=(13,), num_points=128, bucket=16)
     ev1 = lambda n: eval_many(params, batch_stats, batch1, n)
-    timed(ev1, 4)  # compile both shapes before sampling
-    timed(ev1, 16)
+    # B=1 latency is ~0.1 ms/iteration while a host/tunnel sync wobbles by
+    # a few ms, so the slope must span enough iterations (200) that the
+    # per-sample noise (±sync/200) sits well below the signal
+    n_lo1, n_hi1 = 8, 208
+    timed(ev1, n_lo1)  # compile both shapes before sampling
+    timed(ev1, n_hi1)
     lat = []
     for _ in range(20):
-        t_lo1 = timed(ev1, 4)
-        t_hi1 = timed(ev1, 16)
-        lat.append((t_hi1 - t_lo1) / 12)
+        t_lo1 = timed(ev1, n_lo1)
+        t_hi1 = timed(ev1, n_hi1)
+        lat.append((t_hi1 - t_lo1) / (n_hi1 - n_lo1))
     p50_ms = float(np.percentile(lat, 50) * 1e3)
     p99_ms = float(np.percentile(lat, 99) * 1e3)
 
@@ -126,9 +142,7 @@ def main():
         return losses[-1]
 
     tr = lambda n: train_many(state, train_batch, n)
-    t_lo_tr = timed(tr, 4)
-    t_hi_tr = timed(tr, 16)
-    train_scenes_per_sec = len(train_counts) * 12 / (t_hi_tr - t_lo_tr)
+    train_scenes_per_sec = len(train_counts) / slope(tr, 8, 32)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")

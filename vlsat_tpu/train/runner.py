@@ -55,6 +55,14 @@ class Runner:
         d = cfg.dataset
         self.mode = cfg.get("MODE", "train")
 
+        # PRNG implementation (see config/defaults.py PRNG_IMPL): "rbg"
+        # makes dropout-mask generation ~4x cheaper on TPU
+        try:
+            jax.config.update("jax_default_prng_impl",
+                              cfg.get("PRNG_IMPL", "rbg"))
+        except Exception:
+            pass  # older jax or already-initialized incompatible state
+
         common = dict(
             root=d.root,
             scans_root=d.scans_root,
