@@ -243,7 +243,8 @@ class TorchMmgnetOracle(nn.Module):
         self.obj_logit_scale = nn.Parameter(
             torch.tensor(float(np.log(1 / 0.07)), dtype=torch.float32))
 
-    @torch.no_grad()
+    # NOTE: no @torch.no_grad() — gradient-parity tests differentiate these
+    # twins; inference callers wrap calls in torch.no_grad() themselves.
     def forward(self, obj_points, obj_2d_feats, edge_index, descriptor,
                 batch_ids, istrain=False):
         """obj_points (n, P, 3); obj_2d_feats (n, 512); edge_index (E, 2)
@@ -323,7 +324,8 @@ class TorchMmgnetSingleOracle(nn.Module):
         self.obj_logit_scale = nn.Parameter(
             torch.tensor(float(np.log(1 / 0.07)), dtype=torch.float32))
 
-    @torch.no_grad()
+    # NOTE: no @torch.no_grad() — gradient-parity tests differentiate these
+    # twins; inference callers wrap calls in torch.no_grad() themselves.
     def forward(self, obj_points, edge_index, descriptor, istrain=False):
         ei = edge_index.long()
         f = self.obj_encoder(obj_points.transpose(1, 2))
@@ -415,7 +417,8 @@ class TorchSGFNOracle(nn.Module):
         self.obj_predictor = _ObjClsHead(num_obj)
         self.rel_predictor = _RelPredictorMulti(num_rel, in_size=dim_edge)
 
-    @torch.no_grad()
+    # NOTE: no @torch.no_grad() — gradient-parity tests differentiate these
+    # twins; inference callers wrap calls in torch.no_grad() themselves.
     def forward(self, obj_points, edge_index, descriptor, batch_ids):
         ei = edge_index.long()
         f = self.obj_encoder(obj_points.transpose(1, 2))
@@ -498,7 +501,8 @@ class _MMGTeacherCore(nn.Module):
             _GraphEdgeAttenNetwork(heads=heads) for _ in range(depth))
         self.self_attn_fc = _dist_mlp(heads)
 
-    @torch.no_grad()
+    # NOTE: no @torch.no_grad() — gradient-parity tests differentiate these
+    # twins; inference callers wrap calls in torch.no_grad() themselves.
     def forward(self, f3d, f2d, e, ei, centers):  # single scene, (N, D)
         n = f3d.shape[0]
         mask = torch.ones(1, 1, n, n)
@@ -532,7 +536,8 @@ class _MMGStudentCore(nn.Module):
             _GraphEdgeAttenNetwork(heads=heads) for _ in range(depth))
         self.self_attn_fc = _dist_mlp(heads)
 
-    @torch.no_grad()
+    # NOTE: no @torch.no_grad() — gradient-parity tests differentiate these
+    # twins; inference callers wrap calls in torch.no_grad() themselves.
     def forward(self, f, e, ei, centers):
         n = f.shape[0]
         mask = torch.ones(1, 1, n, n)
