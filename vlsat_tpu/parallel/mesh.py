@@ -50,3 +50,17 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_eval_batches(loader, mesh: Mesh, axis: str = "data"):
+    """Wrap an eval loader for data-parallel evaluation (SURVEY §5:
+    per-device scene shards + host-side metric merge): ragged batches are
+    padded with fully-masked scenes (which the metric engine skips) to a
+    multiple of the mesh size, then sharded over the scene axis."""
+    from vlsat_tpu.scene import pad_batch_scenes
+
+    n_dev = mesh.shape[axis]
+    for batch in loader:
+        b = batch.num_scenes
+        total = -(-b // n_dev) * n_dev
+        yield shard_batch(pad_batch_scenes(batch, total), mesh, axis=axis)

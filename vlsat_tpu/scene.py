@@ -165,6 +165,38 @@ def pad_scene(
     return out
 
 
+def pad_batch_scenes(batch: SceneBatch, total: int) -> SceneBatch:
+    """Grow a SceneBatch to ``total`` scenes by appending fully-masked pad
+    scenes (all-False obj/edge masks, sanitized descriptors so downstream
+    logs stay finite).  Pad scenes contribute nothing to losses or metrics;
+    used to make eval batches divide evenly over a device mesh."""
+    b = batch.num_scenes
+    if total < b:
+        raise ValueError(f"total {total} < batch scenes {b}")
+    if total == b:
+        return batch
+    k = total - b
+
+    def pad(x, fill=0):
+        extra = np.full((k, *x.shape[1:]), fill, dtype=np.asarray(x).dtype)
+        return jnp.concatenate([jnp.asarray(x), jnp.asarray(extra)], axis=0)
+
+    desc = np.tile(_SAFE_DESCRIPTOR, (k, batch.num_nodes, 1))
+    return SceneBatch(
+        obj_points=pad(batch.obj_points),
+        obj_mask=pad(batch.obj_mask, False),
+        descriptor=jnp.concatenate(
+            [jnp.asarray(batch.descriptor), jnp.asarray(desc)], axis=0),
+        obj_2d_feats=pad(batch.obj_2d_feats),
+        gt_class=pad(batch.gt_class),
+        edge_index=pad(batch.edge_index),
+        edge_mask=pad(batch.edge_mask, False),
+        gt_rels=pad(batch.gt_rels),
+        rel_text_feat=None if batch.rel_text_feat is None else pad(batch.rel_text_feat),
+        rel_points=None if batch.rel_points is None else pad(batch.rel_points),
+    )
+
+
 def collate(scenes: Sequence[dict], with_text: bool = False) -> SceneBatch:
     """Stack per-scene padded dicts (all same bucket) into a SceneBatch."""
     stack = lambda k: jnp.asarray(np.stack([s[k] for s in scenes]))

@@ -281,6 +281,12 @@ class Runner:
         bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
         loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
                              buckets=self.cfg.dataset.node_buckets)
+        if self.mesh is not None:
+            # data-parallel eval: pad ragged batches with masked scenes
+            # (skipped by the engine) and shard over the mesh
+            from vlsat_tpu.parallel import shard_eval_batches
+
+            loader = shard_eval_batches(loader, self.mesh)
         save_dir = os.path.join(self.cfg.PATH, "results", self.cfg.NAME,
                                 self.cfg.get("exp", "default")) if save else None
         metrics = evaluate(
