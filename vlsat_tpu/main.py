@@ -32,6 +32,17 @@ def main(argv=None):
     })
     set_random_seed(cfg.SEED)
 
+    # process-level PRNG implementation (config/defaults.py PRNG_IMPL):
+    # "rbg" makes dropout-mask generation ~4x cheaper on TPU.  Applied here
+    # at the CLI entry, not inside library constructors — it is global
+    # process state (PERFORMANCE.md).
+    import jax
+
+    try:
+        jax.config.update("jax_default_prng_impl", cfg.get("PRNG_IMPL", "rbg"))
+    except Exception:
+        pass
+
     exp_dir = os.path.join(cfg.PATH, cfg.NAME, args.exp)
     os.makedirs(exp_dir, exist_ok=True)
     with open(os.path.join(exp_dir, "config.json"), "w") as f:

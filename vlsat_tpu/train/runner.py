@@ -54,14 +54,9 @@ class Runner:
         self.cfg = cfg
         d = cfg.dataset
         self.mode = cfg.get("MODE", "train")
-
-        # PRNG implementation (see config/defaults.py PRNG_IMPL): "rbg"
-        # makes dropout-mask generation ~4x cheaper on TPU
-        try:
-            jax.config.update("jax_default_prng_impl",
-                              cfg.get("PRNG_IMPL", "rbg"))
-        except Exception:
-            pass  # older jax or already-initialized incompatible state
+        # NOTE: the PRNG_IMPL config ("rbg" speeds dropout ~4x on TPU) is
+        # applied by the CLI entry (main.py) and bench.py — it is global
+        # process state, so the library constructor must not mutate it
 
         common = dict(
             root=d.root,
