@@ -20,3 +20,15 @@ import jax  # noqa: E402
 # overwrites jax_platforms; force CPU after import, before backend init.
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compilation cache: the suite compiles the full model dozens of
+# times across files/sessions; a warm cache cuts total wall time severalfold
+# (same recipe as bench.py).  Safe across processes — entries key on HLO.
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/vlsat_jax_cache_tests")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+except Exception:
+    pass  # older jax without these flags

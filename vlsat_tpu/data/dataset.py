@@ -68,6 +68,8 @@ class SSGScenes:
         sample_use_all: bool = False,
         max_edges: int = -1,
         neighbor_radius: float = 0.5,
+        use_rgb: bool = False,
+        use_normal: bool = False,
     ):
         self.scans_root = scans_root
         self.label_file = label_file
@@ -90,6 +92,12 @@ class SSGScenes:
         self.sample_use_all = sample_use_all
         self.max_edges = max_edges
         self.neighbor_radius = neighbor_radius
+        # extra point channels: xyz [+rgb/255] [+normals], appended in the
+        # reference's load_mesh (dataset_3dssg.py:38-58); descriptors,
+        # zero-meaning and bboxes always use the xyz slice only
+        self.use_rgb = use_rgb
+        self.use_normal = use_normal
+        self.dim_pts = 3 + 3 * int(use_rgb) + 3 * int(use_normal)
         self._neighbor_cache: Dict[str, Dict[int, set]] = {}
 
         data = load_relationship_json(root, split)
@@ -125,25 +133,44 @@ class SSGScenes:
         if scan in self._mesh_cache:
             self._mesh_cache.move_to_end(scan)
             return self._mesh_cache[scan]
-        npz_path = os.path.join(self.cache_root, f"{scan}.npz") if self.cache_root else None
+        suffix = ("" if self.dim_pts == 3
+                  else f".c{int(self.use_rgb)}{int(self.use_normal)}")
+        npz_path = (os.path.join(self.cache_root, f"{scan}{suffix}.npz")
+                    if self.cache_root else None)
         if npz_path and os.path.exists(npz_path):
             z = np.load(npz_path)
             mesh = {"points": z["points"], "instances": z["instances"]}
         else:
             path = os.path.join(self.scans_root, scan, self.label_file)
-            if self._native is not None:
+            mesh = None
+            if self._native is not None and self.dim_pts == 3:
                 try:
                     pts, inst = self._native.read_ply(path)
                     mesh = {"points": pts, "instances": inst}
                 except IOError:
                     mesh = None
-            else:
-                mesh = None
             if mesh is None:
-                ply = read_ply_vertices(path)
+                ply = read_ply_vertices(path, with_faces=self.use_normal)
                 if ply.instances is None:
                     raise ValueError(f"{scan}: PLY has no objectId/label attribute")
-                mesh = {"points": ply.points, "instances": ply.instances}
+                chans = [ply.points]
+                if self.use_rgb:
+                    if ply.colors is None:
+                        raise ValueError(f"{scan}: USE_RGB but PLY has no vertex colors")
+                    chans.append(ply.colors.astype(np.float32) / 255.0)
+                if self.use_normal:
+                    normals = ply.normals
+                    if normals is None:
+                        from vlsat_tpu.data.ply import compute_vertex_normals
+
+                        if ply.faces is None or not len(ply.faces):
+                            raise ValueError(
+                                f"{scan}: USE_NORMAL but PLY has neither normals nor faces")
+                        normals = compute_vertex_normals(ply.points, ply.faces)
+                    chans.append(normals)
+                pts = (np.concatenate(chans, axis=1).astype(np.float32)
+                       if len(chans) > 1 else ply.points)
+                mesh = {"points": pts, "instances": ply.instances}
             if npz_path:
                 np.savez_compressed(npz_path, **mesh)
         self._mesh_cache[scan] = mesh
@@ -166,7 +193,7 @@ class SSGScenes:
         else:
             from vlsat_tpu.preprocess.gen_data import build_neighbor_graph
 
-            nns = build_neighbor_graph(points, instances,
+            nns = build_neighbor_graph(points[:, :3], instances,
                                        radius=self.neighbor_radius)
         self._neighbor_cache[scan] = nns
         return nns
@@ -181,7 +208,9 @@ class SSGScenes:
             # but never calls its data_augmentation; here the flag works)
             from vlsat_tpu.data.augment import random_z_rotation
 
-            points = random_z_rotation(points, rng)
+            points = random_z_rotation(
+                points, rng,
+                normal_offset=3 + 3 * int(self.use_rgb) if self.use_normal else None)
 
         present = set(np.unique(instances).tolist())
         present.discard(0)  # background
@@ -212,24 +241,28 @@ class SSGScenes:
         obj_2d = np.zeros((n, self.feat_dim), np.float32)
         gt_class = np.zeros((n,), np.int32)
         boxes = {}
-        use_native = self._native is not None and not self.with_union_points
+        use_native = (self._native is not None and not self.with_union_points
+                      and self.dim_pts == 3)
         if use_native:
             seed = int(rng.randint(0, 2**31 - 1))
             obj_points, descriptor = self._native.prepare_instances(
                 points, instances, nodes, self.num_points, seed)
         else:
-            obj_points = np.zeros((n, self.num_points, 3), np.float32)
+            obj_points = np.zeros((n, self.num_points, self.dim_pts), np.float32)
             descriptor = np.zeros((n, 11), np.float32)
         for k, iid in enumerate(nodes):
             name = ann.objects[iid]
             gt_class[k] = self.class_names.index(name)
             if not use_native:
                 sel = points[instances == iid]
-                boxes[iid] = (sel.min(0) - 0.2, sel.max(0) + 0.2)
+                boxes[iid] = (sel[:, :3].min(0) - 0.2, sel[:, :3].max(0) + 0.2)
                 choice = rng.choice(len(sel), self.num_points, replace=True)
                 sample = sel[choice].astype(np.float32)
-                descriptor[k] = _descriptor_np(sample)
-                obj_points[k] = sample - sample.mean(0, keepdims=True)
+                # descriptor / zero-mean act on the xyz slice only
+                # (dataset_3dssg.py:291-293); rgb/normal channels pass through
+                descriptor[k] = _descriptor_np(sample[:, :3])
+                sample[:, :3] -= sample[:, :3].mean(0, keepdims=True)
+                obj_points[k] = sample
             if self.multi_view_root is not None:
                 fp = os.path.join(
                     self.multi_view_root, "data", "3RScan", ann.scan, "multi_view",
@@ -289,7 +322,8 @@ class SSGScenes:
             # collate sees a consistent key set
             out["rel_points"] = (
                 self._union_points(points, instances, nodes, boxes, edge_index, rng)
-                if e else np.zeros((0, self.num_points_union, 4), np.float32)
+                if e else np.zeros((0, self.num_points_union, self.dim_pts + 1),
+                                   np.float32)
             )
         if self.triplet_text_lookup is not None:
             out["rel_text_feat"] = self.triplet_text_lookup(
@@ -301,12 +335,13 @@ class SSGScenes:
         """Joint-bbox union point clouds with {1,2} membership channel
         (dataset_3dssg.py:324-356)."""
         e = len(edge_index)
-        rel_points = np.zeros((e, self.num_points_union, 4), np.float32)
+        d = self.dim_pts
+        rel_points = np.zeros((e, self.num_points_union, d + 1), np.float32)
         for k in range(e):
             i1, i2 = nodes[edge_index[k, 0]], nodes[edge_index[k, 1]]
             lo = np.minimum(boxes[i1][0], boxes[i2][0])
             hi = np.maximum(boxes[i1][1], boxes[i2][1])
-            inside = np.all((points > lo) & (points < hi), axis=-1)
+            inside = np.all((points[:, :3] > lo) & (points[:, :3] < hi), axis=-1)
             sel = np.nonzero(inside)[0]
             if len(sel) == 0:
                 continue
@@ -314,9 +349,9 @@ class SSGScenes:
             idx = sel[choice]
             ps = points[idx].astype(np.float32)
             mask = (instances[idx] == i1) * 1 + (instances[idx] == i2) * 2
-            ps -= ps.mean(0, keepdims=True)
-            rel_points[k, :, :3] = ps
-            rel_points[k, :, 3] = mask
+            ps[:, :3] -= ps[:, :3].mean(0, keepdims=True)
+            rel_points[k, :, :d] = ps
+            rel_points[k, :, d] = mask
         return rel_points
 
 

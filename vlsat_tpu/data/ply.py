@@ -37,9 +37,10 @@ class PlyVertexData:
     instances: Optional[np.ndarray]         # (V,) int32 or None
     colors: Optional[np.ndarray] = None     # (V, 3) uint8
     normals: Optional[np.ndarray] = None    # (V, 3) float32
+    faces: Optional[np.ndarray] = None      # (F, 3) int32 (when requested)
 
 
-def read_ply_vertices(path: str) -> PlyVertexData:
+def read_ply_vertices(path: str, with_faces: bool = False) -> PlyVertexData:
     with open(path, "rb") as f:
         header_lines: List[str] = []
         while True:
@@ -79,16 +80,63 @@ def read_ply_vertices(path: str) -> PlyVertexData:
             raise NotImplementedError("list property in vertex element")
         dtype = np.dtype([(n, "<" + d) for n, d in props])
 
+        faces = None
         if fmt == "binary_little_endian":
             if elements[0][0] != "vertex":
                 raise NotImplementedError("vertex element must come first")
             data = np.frombuffer(f.read(dtype.itemsize * count), dtype=dtype, count=count)
+            if with_faces:
+                faces = _read_faces_binary(f, elements)
         else:
             rows = []
             for _ in range(count):
                 rows.append(tuple(f.readline().split()[: len(props)]))
             data = np.array(rows, dtype=dtype)
+            if with_faces:
+                faces = _read_faces_ascii(f, elements)
 
+    return _vertex_data_from_rec(data, faces)
+
+
+def _read_faces_binary(f, elements) -> Optional[np.ndarray]:
+    """Parse a triangle face element that directly follows the vertices.
+
+    PLY face rows are ``<count><count x index>``; meshes here are uniform
+    triangle fans, so rows are fixed-size records — validated per row.
+    """
+    face_el = next((e for e in elements if e[0] == "face"), None)
+    if face_el is None:
+        return None
+    _, count, props = face_el
+    if count == 0:
+        return np.zeros((0, 3), np.int32)
+    if len(props) != 1 or not props[0][1].startswith("list:"):
+        raise NotImplementedError("face element must be a single list property")
+    _, cnt_t, idx_t = props[0][1].split(":")
+    cnt_dt, idx_dt = np.dtype(_PLY_DTYPES[cnt_t]), np.dtype(_PLY_DTYPES[idx_t])
+    row = np.dtype([("n", "<" + cnt_dt.str[1:]), ("v", "<" + idx_dt.str[1:], (3,))])
+    raw = f.read(row.itemsize * count)
+    rec = np.frombuffer(raw, dtype=row, count=count)
+    if not (rec["n"] == 3).all():
+        raise NotImplementedError("non-triangle face in PLY")
+    return rec["v"].astype(np.int32)
+
+
+def _read_faces_ascii(f, elements) -> Optional[np.ndarray]:
+    face_el = next((e for e in elements if e[0] == "face"), None)
+    if face_el is None:
+        return None
+    _, count, _ = face_el
+    faces = np.zeros((count, 3), np.int32)
+    for i in range(count):
+        parts = f.readline().split()
+        if int(parts[0]) != 3:
+            raise NotImplementedError("non-triangle face in PLY")
+        faces[i] = [int(parts[1]), int(parts[2]), int(parts[3])]
+    return faces
+
+
+def _vertex_data_from_rec(data: np.ndarray, faces: Optional[np.ndarray]) -> PlyVertexData:
     points = np.stack(
         [data["x"].astype(np.float32), data["y"].astype(np.float32), data["z"].astype(np.float32)],
         axis=-1,
@@ -104,15 +152,39 @@ def read_ply_vertices(path: str) -> PlyVertexData:
     normals = None
     if all(c in data.dtype.names for c in ("nx", "ny", "nz")):
         normals = np.stack([data["nx"], data["ny"], data["nz"]], axis=-1).astype(np.float32)
-    return PlyVertexData(points=points, instances=instances, colors=colors, normals=normals)
+    return PlyVertexData(points=points, instances=instances, colors=colors,
+                         normals=normals, faces=faces)
+
+
+def compute_vertex_normals(points: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals from a triangle mesh.
+
+    Replaces trimesh's computed ``vertex_normals`` that the reference
+    dataset consumes when USE_NORMAL is on (dataset_3dssg.py:50-52): each
+    face's unnormalized cross product (magnitude = 2x area) accumulates
+    onto its three vertices, then the sums are normalized.  Vertices not
+    referenced by any face get a zero normal.
+    """
+    faces = np.asarray(faces, np.int64)
+    v0 = points[faces[:, 0]]
+    fn = np.cross(points[faces[:, 1]] - v0, points[faces[:, 2]] - v0)
+    acc = np.zeros_like(points, dtype=np.float64)
+    for k in range(3):
+        np.add.at(acc, faces[:, k], fn)
+    norm = np.linalg.norm(acc, axis=-1, keepdims=True)
+    return (acc / np.maximum(norm, 1e-12)).astype(np.float32)
 
 
 def write_ply_vertices(path: str, points: np.ndarray,
                        instances: Optional[np.ndarray] = None,
-                       colors: Optional[np.ndarray] = None) -> None:
+                       colors: Optional[np.ndarray] = None,
+                       normals: Optional[np.ndarray] = None,
+                       faces: Optional[np.ndarray] = None) -> None:
     """Binary PLY writer (used by preprocessing tools and tests)."""
     n = len(points)
     props = [("x", "f4"), ("y", "f4"), ("z", "f4")]
+    if normals is not None:
+        props += [("nx", "f4"), ("ny", "f4"), ("nz", "f4")]
     if colors is not None:
         props += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
     if instances is not None:
@@ -120,6 +192,8 @@ def write_ply_vertices(path: str, points: np.ndarray,
     dtype = np.dtype([(name, "<" + d) for name, d in props])
     rec = np.empty(n, dtype=dtype)
     rec["x"], rec["y"], rec["z"] = points[:, 0], points[:, 1], points[:, 2]
+    if normals is not None:
+        rec["nx"], rec["ny"], rec["nz"] = normals[:, 0], normals[:, 1], normals[:, 2]
     if colors is not None:
         rec["red"], rec["green"], rec["blue"] = colors[:, 0], colors[:, 1], colors[:, 2]
     if instances is not None:
@@ -128,6 +202,15 @@ def write_ply_vertices(path: str, points: np.ndarray,
     with open(path, "wb") as f:
         head = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
         head += [f"property {name_map[d]} {name}" for name, d in props]
+        if faces is not None:
+            head += [f"element face {len(faces)}",
+                     "property list uchar int vertex_indices"]
         head += ["end_header"]
         f.write(("\n".join(head) + "\n").encode("ascii"))
         f.write(rec.tobytes())
+        if faces is not None:
+            frow = np.dtype([("n", "u1"), ("v", "<i4", (3,))])
+            frec = np.empty(len(faces), dtype=frow)
+            frec["n"] = 3
+            frec["v"] = np.asarray(faces, np.int32)
+            f.write(frec.tobytes())

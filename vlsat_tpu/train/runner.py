@@ -70,6 +70,10 @@ class Runner:
             with_union_points=d.with_union_points or cfg.NAME == "SGPN",
             feat_dim=cfg.MODEL.clip_feat_dim,
             multi_rel=cfg.MODEL.multi_rel_outputs,
+            # extra point channels (reference load_mesh, dataset_3dssg.py:
+            # 38-58); the encoders' first-layer width follows the batch
+            use_rgb=cfg.MODEL.get("USE_RGB", False),
+            use_normal=cfg.MODEL.get("USE_NORMAL", False),
         )
         # Precomputed CLIP triplet-sentence cache feeds the rel-mimic loss.
         # The relation list MUST be the one indexing gt_rels (relationships
