@@ -134,11 +134,14 @@ def main():
 
     @partial(jax.jit, static_argnames=("n",))
     def train_many(state, batch, n):
-        def body(st, _):
-            st2, aux = step(st, batch, jax.random.PRNGKey(0))
+        # per-step key (fold_in on the step index) keeps dropout-mask
+        # generation loop-VARIANT — a constant key would let XLA hoist the
+        # PRNG bits out of the scan, excluding the very cost being measured
+        def body(st, i):
+            st2, aux = step(st, batch, jax.random.fold_in(jax.random.PRNGKey(0), i))
             return st2, aux["loss"]
 
-        final, losses = jax.lax.scan(body, state, None, length=n)
+        final, losses = jax.lax.scan(body, state, jnp.arange(n))
         return losses[-1]
 
     tr = lambda n: train_many(state, train_batch, n)

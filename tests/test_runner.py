@@ -51,6 +51,8 @@ def test_runner_train_validate_checkpoint(runner_cfg, tmp_path):
     # best checkpoint also resolvable
     r3 = Runner(runner_cfg)
     assert r3.load(best=True)
+    for runner in (r, r2, r3):
+        runner.close()
 
 
 def test_config_enum_validation():

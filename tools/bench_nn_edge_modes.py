@@ -33,8 +33,12 @@ def main(with_train: bool = False):
     node_counts = (9, 11, 12, 13, 14, 15, 16, 10) * 4
     batch = make_batch(seed=0, node_counts=node_counts, num_points=128, bucket=16)
     tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    train_counts = node_counts[:8]
+    train_batch = make_batch(seed=3, node_counts=train_counts, num_points=128,
+                             bucket=16, with_text=True)
 
     results = {}
+    train_results = {}
     for mode in ("edge", "gather", "onehot"):
         model = MMGNet(cfg=MMGNetConfig(nn_edge_mode=mode))
         variables = model.init(
@@ -65,9 +69,44 @@ def main(with_train: bool = False):
         results[mode] = sps
         print(f"eval {mode:>7}: {sps:10.1f} scenes/s  ({per_batch * 1e3:.3f} ms/batch)")
 
+        if with_train:
+            # full train step (fwd+loss+bwd+AdamW), same carry-chained scan
+            # + per-step fold_in key as bench.py's train_many
+            from vlsat_tpu.train.optim import make_optimizer
+            from vlsat_tpu.train.state import create_train_state
+            from vlsat_tpu.train.step import make_train_step
+
+            opt = make_optimizer(lr=1e-4, max_iteration=1000)
+            state = create_train_state(model, tiny, opt, seed=0)
+            step = make_train_step(model, opt, donate=False)
+
+            @partial(jax.jit, static_argnames=("n",))
+            def train_many(state, b, n):
+                def body(st, i):
+                    st2, aux = step(st, b, jax.random.fold_in(jax.random.PRNGKey(0), i))
+                    return st2, aux["loss"]
+
+                _, losses = jax.lax.scan(body, state, jnp.arange(n))
+                return losses[-1]
+
+            def timed_tr(n):
+                float(np.asarray(train_many(state, train_batch, n)))
+                t0 = time.perf_counter()
+                float(np.asarray(train_many(state, train_batch, n)))
+                return time.perf_counter() - t0
+
+            per_step = (timed_tr(32) - timed_tr(8)) / 24
+            tsps = len(train_counts) / per_step
+            train_results[mode] = tsps
+            print(f"train {mode:>6}: {tsps:10.1f} scenes/s  ({per_step * 1e3:.3f} ms/step)")
+
     base = results["edge"]
     for mode, sps in results.items():
-        print(f"{mode:>7}: {sps / base:5.3f}x vs edge")
+        print(f"eval {mode:>7}: {sps / base:5.3f}x vs edge")
+    if train_results:
+        tbase = train_results["edge"]
+        for mode, sps in train_results.items():
+            print(f"train {mode:>6}: {sps / tbase:5.3f}x vs edge")
 
 
 if __name__ == "__main__":

@@ -157,20 +157,31 @@ def _vertex_data_from_rec(data: np.ndarray, faces: Optional[np.ndarray]) -> PlyV
 
 
 def compute_vertex_normals(points: np.ndarray, faces: np.ndarray) -> np.ndarray:
-    """Area-weighted per-vertex normals from a triangle mesh.
+    """Angle-weighted per-vertex normals from a triangle mesh.
 
     Replaces trimesh's computed ``vertex_normals`` that the reference
-    dataset consumes when USE_NORMAL is on (dataset_3dssg.py:50-52): each
-    face's unnormalized cross product (magnitude = 2x area) accumulates
-    onto its three vertices, then the sums are normalized.  Vertices not
-    referenced by any face get a zero normal.
+    dataset consumes when USE_NORMAL is on (dataset_3dssg.py:50-52) and
+    matches its weighting (``trimesh.geometry.weighted_vertex_normals``):
+    each face's UNIT normal accumulates onto its three vertices weighted by
+    the corner angle the face subtends there, then the sums are normalized.
+    Vertices not referenced by any face get a zero normal.
     """
     faces = np.asarray(faces, np.int64)
-    v0 = points[faces[:, 0]]
-    fn = np.cross(points[faces[:, 1]] - v0, points[faces[:, 2]] - v0)
+    p0, p1, p2 = (points[faces[:, k]].astype(np.float64) for k in range(3))
+    fn = np.cross(p1 - p0, p2 - p0)
+    fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-12)
+
+    def corner_angle(a, b, c):
+        u, v = b - a, c - a
+        cosang = (u * v).sum(-1) / np.maximum(
+            np.linalg.norm(u, axis=-1) * np.linalg.norm(v, axis=-1), 1e-12)
+        return np.arccos(np.clip(cosang, -1.0, 1.0))
+
+    angles = [corner_angle(p0, p1, p2), corner_angle(p1, p2, p0),
+              corner_angle(p2, p0, p1)]
     acc = np.zeros_like(points, dtype=np.float64)
     for k in range(3):
-        np.add.at(acc, faces[:, k], fn)
+        np.add.at(acc, faces[:, k], fn * angles[k][:, None])
     norm = np.linalg.norm(acc, axis=-1, keepdims=True)
     return (acc / np.maximum(norm, 1e-12)).astype(np.float32)
 

@@ -143,17 +143,16 @@ def evaluate(
                     ol3 = np.asarray(out["obj_logits_3d"][s])
                     for name, mode in sr_combos:
                         for tag, te in (("gc", 1), ("ngc", 100)):
-                            common = dict(
+                            scalar, per_cls = scene_recall_topk(
                                 obj_logits=ol3, rel_probs=rel3,
                                 gt_rels=gt_rels[s], gt_class=gt_class[s],
                                 edge_index=edge_index[s],
                                 topk=(20, 50, 100), topk_each=te,
                                 num_rel_classes=num_rel_classes,
-                                evaluate=mode, valid_edges=ev)
-                            sr_acc[f"{name}_{tag}"].append(
-                                scene_recall_topk(**common))
-                            sr_cls[f"{name}_{tag}"].append(
-                                scene_recall_topk(per_class=True, **common))
+                                evaluate=mode, valid_edges=ev,
+                                return_both=True)
+                            sr_acc[f"{name}_{tag}"].append(scalar)
+                            sr_cls[f"{name}_{tag}"].append(per_cls)
                 if with_scores:
                     sub_scores.append(t3["sub_scores"])
                     obj_scores.append(t3["obj_scores"])

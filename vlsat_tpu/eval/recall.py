@@ -66,6 +66,7 @@ def scene_recall_topk(
     per_class: bool = False,
     evaluate: str = "triplet",
     valid_edges: "int | None" = None,
+    return_both: bool = False,
 ):
     """Scene-level R@K (or per-class matrix when per_class=True).
 
@@ -118,13 +119,14 @@ def scene_recall_topk(
     sub_cls = gt_class[edge_index[:, 0]]
     obj_cls = gt_class[edge_index[:, 1]]
 
-    if per_class:
-        correct = np.zeros((num_rel_classes, len(topk)))
-        totals = np.asarray([(gt_rels[:, r] > 0).sum() for r in range(num_rel_classes)],
-                            dtype=np.float64)
-    else:
-        correct = np.zeros(len(topk))
-        total = float((gt_rels.sum(-1) > 0).sum())
+    # one ranking pass tallies BOTH the scalar and the per-class recalls
+    # (the per-edge device top-k above is the expensive part — callers that
+    # need both ask via return_both instead of ranking twice)
+    correct_cls = np.zeros((num_rel_classes, len(topk)))
+    totals = np.asarray([(gt_rels[:, r] > 0).sum() for r in range(num_rel_classes)],
+                        dtype=np.float64)
+    correct = np.zeros(len(topk))
+    total = float((gt_rels.sum(-1) > 0).sum())
 
     done = [set() for _ in topk]
     for rank, (e, idx) in enumerate(zip(sel_edges, sel_idx)):
@@ -138,17 +140,16 @@ def scene_recall_topk(
         if hit:
             for t, k in enumerate(topk):
                 if rank < k and e not in done[t]:
-                    if per_class:
-                        for rg in np.nonzero(gt_rels[e])[0]:
-                            correct[rg, t] += 1
-                    else:
-                        correct[t] += 1
+                    correct[t] += 1
+                    for rg in np.nonzero(gt_rels[e])[0]:
+                        correct_cls[rg, t] += 1
                     done[t].add(e)
 
-    if per_class:
-        out = np.full((num_rel_classes, len(topk)), -1.0)
-        for r in range(num_rel_classes):
-            if totals[r] > 0:
-                out[r] = correct[r] / totals[r]
-        return out
-    return correct / max(total, 1.0)
+    out = np.full((num_rel_classes, len(topk)), -1.0)
+    for r in range(num_rel_classes):
+        if totals[r] > 0:
+            out[r] = correct_cls[r] / totals[r]
+    scalar = correct / max(total, 1.0)
+    if return_both:
+        return scalar, out
+    return out if per_class else scalar

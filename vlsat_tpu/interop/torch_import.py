@@ -171,11 +171,7 @@ def import_mmgnet(module_state_dicts: Mapping[str, Mapping[str, np.ndarray]],
 
     mlp = sds["mlp_3d"]
     params["mlp_3d_fc"] = _dense(mlp, "0")
-    params["mlp_3d_bn"] = _layernorm(mlp, "1")
-    batch_stats["mlp_3d_bn"] = {
-        "mean": _v(mlp["1.running_mean"]),
-        "var": _v(mlp["1.running_var"]),
-    }
+    params["mlp_3d_bn"], batch_stats["mlp_3d_bn"] = _batchnorm(mlp, "1")
     tp = sds.get("triplet_projector_2d")
     if tp is not None:
         params["triplet_projector_2d"] = {"fc0": _dense(tp, "0"), "fc1": _dense(tp, "3")}
@@ -232,9 +228,8 @@ def import_mmgnet_single(module_state_dicts: Mapping[str, Mapping[str, np.ndarra
     }
     mlp = sds["mlp_3d"]
     params["mlp_3d_fc"] = _dense(mlp, "0")
-    params["mlp_3d_bn"] = _layernorm(mlp, "1")
-    batch_stats = {"mlp_3d_bn": {"mean": _v(mlp["1.running_mean"]),
-                                 "var": _v(mlp["1.running_var"])}}
+    batch_stats: Dict[str, Any] = {}
+    params["mlp_3d_bn"], batch_stats["mlp_3d_bn"] = _batchnorm(mlp, "1")
     tp = sds.get("triplet_projector_3d")
     if tp is not None:
         params["triplet_projector_3d"] = {"fc0": _dense(tp, "0"), "fc1": _dense(tp, "3")}

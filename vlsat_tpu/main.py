@@ -51,20 +51,23 @@ def main(argv=None):
     from vlsat_tpu.train.runner import Runner
 
     runner = Runner(cfg, data_parallel=args.data_parallel)
-    if args.mode == "eval":
-        if not runner.load(best=args.loadbest):
-            print("warning: no checkpoint found, evaluating fresh init")
-        runner.validation(save=True, with_scores=True)
-    elif args.mode == "trace":
-        from vlsat_tpu.utils.export import trace_model
-        runner.load(best=args.loadbest)
-        trace_model(runner, os.path.join(exp_dir, "traced"))
-    else:
-        # resume tolerantly: an unrestorable checkpoint is archived and
-        # training starts fresh (reference main.py:45-48 semantics)
-        runner.load(best=False, allow_fallback=True)
-        runner.train()
-        runner.validation(save=True)
+    try:
+        if args.mode == "eval":
+            if not runner.load(best=args.loadbest):
+                print("warning: no checkpoint found, evaluating fresh init")
+            runner.validation(save=True, with_scores=True)
+        elif args.mode == "trace":
+            from vlsat_tpu.utils.export import trace_model
+            runner.load(best=args.loadbest)
+            trace_model(runner, os.path.join(exp_dir, "traced"))
+        else:
+            # resume tolerantly: an unrestorable checkpoint is archived and
+            # training starts fresh (reference main.py:45-48 semantics)
+            runner.load(best=False, allow_fallback=True)
+            runner.train()
+            runner.validation(save=True)
+    finally:
+        runner.close()
 
 
 if __name__ == "__main__":

@@ -198,7 +198,9 @@ def map_segments_scannet(
         if seg == 0:
             continue
         pts = pred_points[pred_segments == seg]
-        if len(pts) <= min_seg_size:
+        # keep segments with size >= min_seg_size (reference skips only
+        # size < filter_segment_size, gen_data_scannet.py:169-170)
+        if len(pts) < min_seg_size:
             continue
         votes: Dict[int, int] = {}
         for i in range(0, len(pts), 512):

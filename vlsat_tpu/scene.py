@@ -178,7 +178,8 @@ def pad_batch_scenes(batch: SceneBatch, total: int) -> SceneBatch:
     k = total - b
 
     def pad(x, fill=0):
-        extra = np.full((k, *x.shape[1:]), fill, dtype=np.asarray(x).dtype)
+        # x.dtype works on np and jax arrays alike — no device->host copy
+        extra = np.full((k, *x.shape[1:]), fill, dtype=x.dtype)
         return jnp.concatenate([jnp.asarray(x), jnp.asarray(extra)], axis=0)
 
     desc = np.tile(_SAFE_DESCRIPTOR, (k, batch.num_nodes, 1))

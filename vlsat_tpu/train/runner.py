@@ -155,6 +155,12 @@ class Runner:
             state = replicate(state, self.mesh)
         return state
 
+    def close(self) -> None:
+        """Release the metric logger (flushes the TensorBoard writer thread;
+        long-lived hosts — and the test suite — otherwise leak one event
+        writer thread per Runner)."""
+        self.logger.close()
+
     def load(self, best: bool = False, allow_fallback: bool = False) -> bool:
         """Restore the latest/best checkpoint.
 
@@ -195,9 +201,17 @@ class Runner:
             seed=cfg.SEED, drop_last=True, for_train=True,
             buckets=cfg.dataset.node_buckets,
         )
-        val_loader = lambda: SceneLoader(
-            self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
-            shuffle=False, buckets=cfg.dataset.node_buckets)
+        def val_loader():
+            vl = SceneLoader(
+                self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
+                shuffle=False, buckets=cfg.dataset.node_buckets)
+            if self.mesh is not None:
+                # same data-parallel eval path as validation(): pad ragged
+                # batches with masked scenes and shard over the mesh
+                from vlsat_tpu.parallel import shard_eval_batches
+
+                return shard_eval_batches(vl, self.mesh)
+            return vl
         if self.state is None:
             first = next(iter(loader))
             self.state = self._init_state(first)
