@@ -100,6 +100,22 @@ def main():
         per_batch = slope(ev, 8, 40)
     scenes_per_sec = batch_scenes / per_batch
 
+    # ---- serving mode: 3D branch alone (paper deployment protocol; 3D
+    # outputs bit-identical to the full forward, tests/test_models.py) ----
+    @partial(jax.jit, static_argnames=("n",))
+    def eval3d_many(params, batch_stats, batch, n):
+        def body(carry, _):
+            perturbed = batch.replace(obj_points=batch.obj_points + carry * 1e-30)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              perturbed, istrain=False, branch_3d_only=True)
+            return carry + out["obj_logits_3d"].sum() * 1e-30, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return acc
+
+    ev3 = lambda n: eval3d_many(params, batch_stats, batch, n)
+    eval3d_scenes_per_sec = batch_scenes / slope(ev3, 8, 40)
+
     # ---- per-scene eval latency (B=1, carry-chained slope; percentiles over
     # repeated samples — a naive per-dispatch timer would measure the ~30 ms
     # host/tunnel round trip, not device latency) --------------------------
@@ -164,6 +180,8 @@ def main():
         "train_scenes_per_sec": round(train_scenes_per_sec, 2),
         "p50_scene_latency_ms": round(p50_ms, 3),
         "p99_scene_latency_ms": round(p99_ms, 3),
+        # serving mode: 3D branch alone (EVAL_3D_ONLY), identical 3D outputs
+        "eval3d_scenes_per_sec": round(eval3d_scenes_per_sec, 2),
     }))
 
 

@@ -122,12 +122,14 @@ def test_data_parallel_3step_training_equivalence():
     # per-shard (non-global) label-count reduction shifts weights by O(1)
     np.testing.assert_allclose(losses1, losses8, rtol=1e-5)
     # params carry 3 steps of fp32 psum-reassociation noise in the
-    # gradients; semantic divergence would show up at the 1e-2 level
+    # gradients (the one-hot-matmul gather backward adds another
+    # reassociated scatter-add sum); semantic divergence would show up at
+    # the 1e-2 level
     flat1 = jax.tree.leaves(s1.params)
     flat8 = jax.tree.leaves(s8.params)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-4, atol=1e-6)
+                                   rtol=3e-4, atol=5e-6)
 
 
 def test_shard_batch_rejects_uneven_batch():

@@ -72,22 +72,28 @@ def evaluate(
     progbar = Progbar(total, width=20) if verbose else None
     seen = 0
 
+    has_2d = True
     for batch in loader:
         out = eval_step(params, batch_stats, batch)
+        # serving mode (branch_3d_only) emits no 2D outputs: report the 3D
+        # metric families only
+        has_2d = out.get("obj_logits_2d") is not None
         obr3 = np.asarray(object_ranks(out["obj_logits_3d"], batch.gt_class, topk=11))
-        obr2 = np.asarray(object_ranks(out["obj_logits_2d"], batch.gt_class, topk=11))
         pr3, png3 = predicate_rank_parts(out["rel_cls_3d"], topk=6)
-        pr2, png2 = predicate_rank_parts(out["rel_cls_2d"], topk=6)
-        pr3, png3, pr2, png2 = map(np.asarray, (pr3, png3, pr2, png2))
+        pr3, png3 = np.asarray(pr3), np.asarray(png3)
+        if has_2d:
+            obr2 = np.asarray(object_ranks(out["obj_logits_2d"], batch.gt_class, topk=11))
+            pr2, png2 = predicate_rank_parts(out["rel_cls_2d"], topk=6)
+            pr2, png2 = np.asarray(pr2), np.asarray(png2)
         obj_mask = np.asarray(batch.obj_mask)
         edge_mask = np.asarray(batch.edge_mask)
         gt_rels = np.asarray(batch.gt_rels)
         if not multi_rel:
             gt_rels = gt_rels.copy()
             gt_rels[..., 0] = 0  # 'none' targets -> no-GT edges
-            out = dict(out,
-                       rel_cls_3d=jax.numpy.exp(out["rel_cls_3d"]),
-                       rel_cls_2d=jax.numpy.exp(out["rel_cls_2d"]))
+            out = dict(out, rel_cls_3d=jax.numpy.exp(out["rel_cls_3d"]))
+            if has_2d:
+                out["rel_cls_2d"] = jax.numpy.exp(out["rel_cls_2d"])
         gt_class = np.asarray(batch.gt_class)
         edge_index = np.asarray(batch.edge_index)
 
@@ -97,11 +103,12 @@ def evaluate(
             if nv == 0:
                 continue
             acc["topk_obj"].extend(obr3[s, :nv])
-            acc["topk_obj_2d"].extend(obr2[s, :nv])
             acc["topk_rel"].extend(
                 assemble_predicate_topk(pr3[s, :ev], png3[s, :ev], gt_rels[s, :ev]))
-            acc["topk_rel_2d"].extend(
-                assemble_predicate_topk(pr2[s, :ev], png2[s, :ev], gt_rels[s, :ev]))
+            if has_2d:
+                acc["topk_obj_2d"].extend(obr2[s, :nv])
+                acc["topk_rel_2d"].extend(
+                    assemble_predicate_topk(pr2[s, :ev], png2[s, :ev], gt_rels[s, :ev]))
 
             if ev:
                 # full padded shapes: compilations stay bounded by the
@@ -110,11 +117,12 @@ def evaluate(
                 tr3, tng3 = triplet_rank_parts(
                     out["obj_logits_3d"][s], batch.gt_class[s],
                     out["rel_cls_3d"][s], batch.edge_index[s], topk=101)
-                tr2, tng2 = triplet_rank_parts(
-                    out["obj_logits_2d"][s], batch.gt_class[s],
-                    out["rel_cls_2d"][s], batch.edge_index[s], topk=101)
                 tr3, tng3 = tr3[:ev], tng3[:ev]
-                tr2, tng2 = tr2[:ev], tng2[:ev]
+                if has_2d:
+                    tr2, tng2 = triplet_rank_parts(
+                        out["obj_logits_2d"][s], batch.gt_class[s],
+                        out["rel_cls_2d"][s], batch.edge_index[s], topk=101)
+                    tr2, tng2 = tr2[:ev], tng2[:ev]
                 ei = edge_index[s, :ev]
                 sub_cls = gt_class[s][ei[:, 0]]
                 obj_cls = gt_class[s][ei[:, 1]]
@@ -130,11 +138,12 @@ def evaluate(
                 t3 = assemble_triplet_topk(
                     np.asarray(tr3), np.asarray(tng3), gt_rels[s, :ev],
                     sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]], **scores)
-                t2 = assemble_triplet_topk(
-                    np.asarray(tr2), np.asarray(tng2), gt_rels[s, :ev],
-                    sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]])
                 acc["topk_triplet"].extend(t3["topk"])
-                acc["topk_triplet_2d"].extend(t2["topk"])
+                if has_2d:
+                    t2 = assemble_triplet_topk(
+                        np.asarray(tr2), np.asarray(tng2), gt_rels[s, :ev],
+                        sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]])
+                    acc["topk_triplet_2d"].extend(t2["topk"])
                 cls_rows.append(t3["cls_matrix"])
                 if scene_recall and gt_rels[s, :ev].sum() > 0:
                     from vlsat_tpu.eval.recall import scene_recall_topk
@@ -169,26 +178,30 @@ def evaluate(
     cls_matrix = np.concatenate(cls_rows) if cls_rows else np.zeros((0, 5), np.int64)
 
     metrics: Dict[str, float] = {}
-    for name, key, ks in (
+    families = [
         ("obj_acc", "topk_obj", (1, 5, 10)),
-        ("obj_acc_2d", "topk_obj_2d", (1, 5, 10)),
         ("rel_acc", "topk_rel", (1, 3, 5)),
-        ("rel_acc_2d", "topk_rel_2d", (1, 3, 5)),
         ("triplet_acc", "topk_triplet", (50, 100)),
-        ("triplet_acc_2d", "topk_triplet_2d", (50, 100)),
-    ):
+    ]
+    if has_2d:
+        families += [
+            ("obj_acc_2d", "topk_obj_2d", (1, 5, 10)),
+            ("rel_acc_2d", "topk_rel_2d", (1, 3, 5)),
+            ("triplet_acc_2d", "topk_triplet_2d", (50, 100)),
+        ]
+    for name, key, ks in families:
         for k in ks:
             metrics[f"{name}_{k}"] = topk_accuracy(arr[key], k)
 
     m1, m3, m5 = compute_mean_predicate(cls_matrix, arr["topk_rel"], num_rel_classes=num_rel_classes)
-    m1_2, m3_2, m5_2 = compute_mean_predicate(cls_matrix, arr["topk_rel_2d"], num_rel_classes=num_rel_classes)
-    metrics.update(rel_acc_mean_1=m1, rel_acc_mean_3=m3, rel_acc_mean_5=m5,
-                   rel_acc_2d_mean_1=m1_2, rel_acc_2d_mean_3=m3_2, rel_acc_2d_mean_5=m5_2)
-
+    metrics.update(rel_acc_mean_1=m1, rel_acc_mean_3=m3, rel_acc_mean_5=m5)
     mr = get_mean_recall(arr["topk_triplet"], cls_matrix, num_rel_classes=num_rel_classes)
-    mr2 = get_mean_recall(arr["topk_triplet_2d"], cls_matrix, num_rel_classes=num_rel_classes)
-    metrics.update(mean_recall_50=float(mr[0]), mean_recall_100=float(mr[1]),
-                   mean_recall_2d_50=float(mr2[0]), mean_recall_2d_100=float(mr2[1]))
+    metrics.update(mean_recall_50=float(mr[0]), mean_recall_100=float(mr[1]))
+    if has_2d:
+        m1_2, m3_2, m5_2 = compute_mean_predicate(cls_matrix, arr["topk_rel_2d"], num_rel_classes=num_rel_classes)
+        metrics.update(rel_acc_2d_mean_1=m1_2, rel_acc_2d_mean_3=m3_2, rel_acc_2d_mean_5=m5_2)
+        mr2 = get_mean_recall(arr["topk_triplet_2d"], cls_matrix, num_rel_classes=num_rel_classes)
+        metrics.update(mean_recall_2d_50=float(mr2[0]), mean_recall_2d_100=float(mr2[1]))
 
     if train_triplet_vocab is not None:
         metrics.update(get_zero_shot_recall(arr["topk_triplet"], cls_matrix, train_triplet_vocab))

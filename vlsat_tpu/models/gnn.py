@@ -141,8 +141,11 @@ class GraphEdgeAttenNetwork(nn.Module):
         msg, edge_new = ea(
             x_i, edge_feature, x_j, deterministic=deterministic,
             nn_edge_nodes=nodes)
+        # deterministic == inference: the forward is never differentiated
+        # there, so the Pallas segment-max fast path is safe to enable
         agg = scatter_edges_to_nodes(
-            msg, edge_index, edge_mask, num_nodes=x.shape[1], aggr=self.aggr
+            msg, edge_index, edge_mask, num_nodes=x.shape[1], aggr=self.aggr,
+            use_pallas=deterministic,
         )
         x_new = DenseStack(
             [self.dim_node + self.dim_atten, self.dim_node], name="prop"

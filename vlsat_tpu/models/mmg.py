@@ -56,7 +56,13 @@ class MMG(nn.Module):
 
     @nn.compact
     def __call__(self, f3d, f2d, e3d, e2d, edge_index, obj_mask, edge_mask,
-                 obj_center, *, deterministic: bool = True):
+                 obj_center, *, deterministic: bool = True,
+                 with_2d: bool = True):
+        """``with_2d=False`` runs the 3D path alone (f2d/e2d may be None,
+        the 3D outputs are bit-identical): the 2D branch only ever READS
+        the 3D stream (cross-attention q=2D k/v=3D, network_MMG.py:218,231)
+        — at deployment the 3D branch runs by itself (paper protocol),
+        skipping half the edge-GEMM FLOPs."""
         node_mask = (obj_mask[:, None, None, :] & obj_mask[:, None, :, None])
         edge_att_mask = (edge_mask[:, None, None, :] & edge_mask[:, None, :, None])
         bias = DistanceBiasMLP(self.num_heads, name="self_attn_fc")(
@@ -67,22 +73,25 @@ class MMG(nn.Module):
         for i in range(self.depth):
             f3d = MultiHeadAttention(self.num_heads, self.dim_node, name=f"self_attn_{i}")(
                 f3d, f3d, f3d, mask=node_mask, bias=bias, deterministic=deterministic)
-            f2d = MultiHeadAttention(self.num_heads, self.dim_node, name=f"cross_attn_{i}")(
-                f2d, f3d, f3d, mask=node_mask, bias=bias, deterministic=deterministic)
+            if with_2d:
+                f2d = MultiHeadAttention(self.num_heads, self.dim_node, name=f"cross_attn_{i}")(
+                    f2d, f3d, f3d, mask=node_mask, bias=bias, deterministic=deterministic)
 
             f3d, e3d = self._gcn(f"gcn_3d_{i}")(
                 f3d, e3d, edge_index, edge_mask, deterministic=deterministic)
-            f2d, e2d = self._gcn(f"gcn_2d_{i}")(
-                f2d, e2d, edge_index, edge_mask, deterministic=deterministic)
+            if with_2d:
+                f2d, e2d = self._gcn(f"gcn_2d_{i}")(
+                    f2d, e2d, edge_index, edge_mask, deterministic=deterministic)
 
-            e2d = MultiHeadAttention(self.num_heads, self.dim_edge, name=f"cross_attn_rel_{i}")(
-                e2d, e3d, e3d, mask=edge_att_mask, deterministic=deterministic)
+                e2d = MultiHeadAttention(self.num_heads, self.dim_edge, name=f"cross_attn_rel_{i}")(
+                    e2d, e3d, e3d, mask=edge_att_mask, deterministic=deterministic)
 
             if i < self.depth - 1 or self.depth == 1:
                 f3d = drop(nn.relu(f3d))
-                f2d = drop(nn.relu(f2d))
                 e3d = drop(nn.relu(e3d))
-                e2d = drop(nn.relu(e2d))
+                if with_2d:
+                    f2d = drop(nn.relu(f2d))
+                    e2d = drop(nn.relu(e2d))
 
         return f3d, f2d, e3d, e2d
 

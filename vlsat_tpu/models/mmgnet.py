@@ -151,9 +151,20 @@ class MMGNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: SceneBatch, *, istrain: bool = False,
-                 deterministic: Optional[bool] = None) -> Dict[str, Any]:
+                 deterministic: Optional[bool] = None,
+                 branch_3d_only: bool = False) -> Dict[str, Any]:
+        """``branch_3d_only=True`` is the deployment/serving mode: at eval
+        time the 3D branch runs alone (the paper's protocol — the 2D branch
+        exists to distill into it at train time), skipping the 2D encoders,
+        adapter, cross-attentions, GCNs and heads.  The 3D outputs are
+        bit-identical to the full forward; ~2x eval throughput (the hot
+        edge-update GEMMs run once instead of twice).  Not valid with
+        ``istrain`` (the losses need the 2D stream)."""
         cfg = self.cfg
         det = (not istrain) if deterministic is None else deterministic
+        if branch_3d_only and istrain:
+            raise ValueError("branch_3d_only is an inference mode")
+        with_2d = not branch_3d_only
 
         # --- 3D object branch -------------------------------------------------
         obj_feature = PointNetEncoder(
@@ -181,22 +192,26 @@ class MMGNet(nn.Module):
         edge_feat = jax.lax.stop_gradient(
             edge_descriptor(batch.descriptor, batch.edge_index)
         )
-        rel_feature_2d = PointNetEncoder(cfg.dim_edge, name="rel_encoder_2d")(
-            edge_feat[..., None, :]
-        )
+        rel_feature_2d = None
+        if with_2d:
+            rel_feature_2d = PointNetEncoder(cfg.dim_edge, name="rel_encoder_2d")(
+                edge_feat[..., None, :]
+            )
         rel_feature_3d = PointNetEncoder(cfg.dim_edge, name="rel_encoder_3d")(
             edge_feat[..., None, :]
         )
 
         # --- 2D branch (frozen adapter; in21k feeds features directly) -------
-        if cfg.use_adapter:
-            obj_2d = jax.lax.stop_gradient(
-                AdapterModel(alpha=cfg.adapter_alpha, name="clip_adapter")(
-                    batch.obj_2d_feats
+        obj_2d = None
+        if with_2d:
+            if cfg.use_adapter:
+                obj_2d = jax.lax.stop_gradient(
+                    AdapterModel(alpha=cfg.adapter_alpha, name="clip_adapter")(
+                        batch.obj_2d_feats
+                    )
                 )
-            )
-        else:
-            obj_2d = batch.obj_2d_feats
+            else:
+                obj_2d = batch.obj_2d_feats
         obj_features_2d_mimic = obj_2d
 
         obj_center = batch.descriptor[..., :3]
@@ -214,7 +229,7 @@ class MMGNet(nn.Module):
         )(
             obj_feature, obj_2d, rel_feature_3d, rel_feature_2d,
             batch.edge_index, batch.obj_mask, batch.edge_mask, obj_center,
-            deterministic=det,
+            deterministic=det, with_2d=with_2d,
         )
 
         # --- heads ------------------------------------------------------------
@@ -222,10 +237,12 @@ class MMGNet(nn.Module):
             cfg.num_rel_classes, multi_label=cfg.multi_rel_outputs,
             name="rel_predictor_3d",
         )(e3d, deterministic=det)
-        rel_cls_2d = RelPredictor(
-            cfg.num_rel_classes, multi_label=cfg.multi_rel_outputs,
-            name="rel_predictor_2d",
-        )(e2d, deterministic=det)
+        rel_cls_2d = None
+        if with_2d:
+            rel_cls_2d = RelPredictor(
+                cfg.num_rel_classes, multi_label=cfg.multi_rel_outputs,
+                name="rel_predictor_2d",
+            )(e2d, deterministic=det)
 
         if cfg.cosine_classifier:
             logit_scale = jnp.exp(
@@ -245,6 +262,8 @@ class MMGNet(nn.Module):
                 return nn.Dense(cfg.num_obj_classes, name=name)(x)
 
         obj_logits_3d = obj_logits(f3d, "obj_predictor_3d")
+        if branch_3d_only:
+            return {"obj_logits_3d": obj_logits_3d, "rel_cls_3d": rel_cls_3d}
         obj_logits_2d = obj_logits(f2d, "obj_predictor_2d")
 
         out = {

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vlsat_tpu.ops.graph import scatter_edges_to_nodes
+from vlsat_tpu.ops.graph import gather_edge_endpoints, scatter_edges_to_nodes
 
 
 def gcn_normalize_adj(edge_index: jnp.ndarray, edge_mask: jnp.ndarray,
@@ -36,7 +36,7 @@ def gcn_propagate(x: jnp.ndarray, edge_index: jnp.ndarray, edge_mask: jnp.ndarra
     source (edge[...,0]) -> target (edge[...,1]), torch-geometric default)."""
     n = x.shape[1]
     edge_norm, self_norm = gcn_normalize_adj(edge_index, edge_mask, n)
-    x_src = jnp.take_along_axis(x, edge_index[..., 0:1], axis=1)
+    x_src, _ = gather_edge_endpoints(x, edge_index)  # one-hot MXU gather
     msg = x_src * edge_norm[..., None]
     agg = scatter_edges_to_nodes(msg, edge_index, edge_mask, n, aggr="add", target=1)
     return agg + x * self_norm[..., None]

@@ -290,7 +290,14 @@ class Runner:
         give identical metrics (masks keep scenes independent) at much
         higher throughput — set EVAL_BATCH_SIZE in the config."""
         assert self.state is not None, "call load() first"
-        eval_fn = make_eval_step(self.model)
+        # EVAL_3D_ONLY: serving mode for MMGNet-class models — 3D branch
+        # alone (bit-identical 3D outputs, ~2x throughput); 2D metric
+        # families are then absent from the result
+        from vlsat_tpu.models import MMGNet as _MMGNet
+
+        b3d = bool(self.cfg.get("EVAL_3D_ONLY", False)) and isinstance(
+            self.model, _MMGNet)
+        eval_fn = make_eval_step(self.model, branch_3d_only=b3d)
         bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
         loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
                              buckets=self.cfg.dataset.node_buckets)

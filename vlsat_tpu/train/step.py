@@ -65,11 +65,17 @@ def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: MMGNet):
+def make_eval_step(model: MMGNet, branch_3d_only: bool = False):
+    """``branch_3d_only``: serving mode — only MMGNet supports it (the 2D
+    branch is read-only from the 3D stream, so 3D outputs are identical);
+    other model types ignore the flag."""
+    kwargs = {"branch_3d_only": True} if branch_3d_only else {}
+
     @jax.jit
     def eval_step(params, batch_stats, batch: SceneBatch) -> Dict[str, jnp.ndarray]:
         return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch, istrain=False
+            {"params": params, "batch_stats": batch_stats}, batch,
+            istrain=False, **kwargs
         )
 
     return eval_step
