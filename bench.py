@@ -69,12 +69,12 @@ def main():
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    @partial(jax.jit, static_argnames=("n",))
-    def eval_many(params, batch_stats, batch, n):
+    @partial(jax.jit, static_argnames=("n", "b3d"))
+    def eval_many(params, batch_stats, batch, n, b3d=False):
         def body(carry, _):
             perturbed = batch.replace(obj_points=batch.obj_points + carry * 1e-30)
             out = model.apply({"params": params, "batch_stats": batch_stats},
-                              perturbed, istrain=False)
+                              perturbed, istrain=False, branch_3d_only=b3d)
             return carry + out["obj_logits_3d"].sum() * 1e-30, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
@@ -101,19 +101,8 @@ def main():
     scenes_per_sec = batch_scenes / per_batch
 
     # ---- serving mode: 3D branch alone (paper deployment protocol; 3D
-    # outputs bit-identical to the full forward, tests/test_models.py) ----
-    @partial(jax.jit, static_argnames=("n",))
-    def eval3d_many(params, batch_stats, batch, n):
-        def body(carry, _):
-            perturbed = batch.replace(obj_points=batch.obj_points + carry * 1e-30)
-            out = model.apply({"params": params, "batch_stats": batch_stats},
-                              perturbed, istrain=False, branch_3d_only=True)
-            return carry + out["obj_logits_3d"].sum() * 1e-30, None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return acc
-
-    ev3 = lambda n: eval3d_many(params, batch_stats, batch, n)
+    # outputs bit-identical to the full forward, tests/test_eval_3d_only.py)
+    ev3 = lambda n: eval_many(params, batch_stats, batch, n, b3d=True)
     eval3d_scenes_per_sec = batch_scenes / slope(ev3, 8, 40)
 
     # ---- per-scene eval latency (B=1, carry-chained slope; percentiles over

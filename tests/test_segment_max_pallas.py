@@ -40,7 +40,8 @@ def test_segment_max_pallas_matches_xla():
         out = segment_max_pallas(
             jnp.asarray(data), jnp.asarray(ei), jnp.asarray(em), N,
             interpret=True)
-        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out)), (B, N, D)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out),
+                                      err_msg=str((B, N, D)))
 
 
 def test_segment_max_pallas_negative_and_empty():

@@ -87,10 +87,15 @@ class MMG(nn.Module):
                     e2d, e3d, e3d, mask=edge_att_mask, deterministic=deterministic)
 
             if i < self.depth - 1 or self.depth == 1:
+                # keep the f3d, f2d, e3d, e2d call ORDER of the dual-branch
+                # layer: flax auto-names the Dropout submodules by call
+                # order, so reordering would silently reassign which RNG
+                # stream masks which tensor in training
                 f3d = drop(nn.relu(f3d))
-                e3d = drop(nn.relu(e3d))
                 if with_2d:
                     f2d = drop(nn.relu(f2d))
+                e3d = drop(nn.relu(e3d))
+                if with_2d:
                     e2d = drop(nn.relu(e2d))
 
         return f3d, f2d, e3d, e2d

@@ -80,6 +80,12 @@ def _segment_reduce(data, seg, num_segments, aggr):
 def _pallas_max_available(edge_data, num_nodes: int) -> bool:
     if jax.default_backend() != "tpu" or jax.device_count() != 1:
         return False
+    # a CPU default_device on a TPU host would trace the Mosaic kernel
+    # into a CPU computation; explicit jit(device=cpu) placement is not
+    # detectable here and remains unsupported with use_pallas
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+        return False
     from vlsat_tpu.ops.pallas.segment_max import pallas_segment_max_supported
 
     return pallas_segment_max_supported(edge_data, num_nodes)
@@ -103,17 +109,39 @@ def scatter_edges_to_nodes(
     Returns (B, N, D).
 
     ``use_pallas``: route aggr="max" through the VMEM-streaming Pallas
-    kernel (ops/pallas/segment_max.py) — inference-only (no VJP) and
-    single-device; callers pass their ``deterministic`` flag.  Silently
+    kernel (ops/pallas/segment_max.py) on single-device TPU; callers pass
+    their ``deterministic`` flag as a SPEED hint (training keeps the XLA
+    scatter, whose fused backward is cheaper).  Differentiating the Pallas
+    path still works: a custom VJP re-derives the gradient through the XLA
+    scatter at the same primal, so semantics match exactly (the
+    gradient-parity tests differentiate deterministic forwards).  Silently
     falls back to the XLA scatter off-TPU / multi-device / oversize.
     """
+    def _xla(d, ei, em):
+        seg = jnp.where(em, ei[..., target], num_nodes)
+        fn = partial(_segment_reduce, num_segments=num_nodes, aggr=aggr)
+        return jax.vmap(fn)(d, seg)
+
     if use_pallas and aggr == "max" and _pallas_max_available(edge_data, num_nodes):
         from vlsat_tpu.ops.pallas.segment_max import segment_max_pallas
 
-        return segment_max_pallas(
-            edge_data, edge_index, edge_mask, num_nodes, target=target
-        ).astype(edge_data.dtype)
-    seg = edge_index[..., target]
-    seg = jnp.where(edge_mask, seg, num_nodes)  # invalid edges -> dump segment
-    fn = partial(_segment_reduce, num_segments=num_nodes, aggr=aggr)
-    return jax.vmap(fn)(edge_data, seg)
+        # explicit args (closure-captured tracers break custom_vjp);
+        # integer/bool args get float0 cotangents
+        @jax.custom_vjp
+        def f(d, ei, em):
+            return segment_max_pallas(
+                d, ei, em, num_nodes, target=target
+            ).astype(d.dtype)
+
+        def f_fwd(d, ei, em):
+            return f(d, ei, em), (d, ei, em)
+
+        def f_bwd(res, g):
+            d, ei, em = res
+            _, vjp = jax.vjp(lambda x: _xla(x, ei, em), d)
+            z = lambda a: jnp.zeros(a.shape, dtype=jax.dtypes.float0)
+            return vjp(g)[0], z(ei), z(em)
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(edge_data, edge_index, edge_mask)
+    return _xla(edge_data, edge_index, edge_mask)

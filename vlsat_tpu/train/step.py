@@ -68,7 +68,11 @@ def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
 def make_eval_step(model: MMGNet, branch_3d_only: bool = False):
     """``branch_3d_only``: serving mode — only MMGNet supports it (the 2D
     branch is read-only from the 3D stream, so 3D outputs are identical);
-    other model types ignore the flag."""
+    requesting it for another model type raises here rather than failing
+    inside the first traced call."""
+    if branch_3d_only and not isinstance(model, MMGNet):
+        raise ValueError(
+            f"branch_3d_only is an MMGNet serving mode, got {type(model).__name__}")
     kwargs = {"branch_3d_only": True} if branch_3d_only else {}
 
     @jax.jit
