@@ -267,7 +267,13 @@ class Runner:
                     self.logger.log(logs, it)
                 if it >= self.max_iteration:
                     break
-            self.ckpt.save(self.state, eva_res if eva_res >= 0 else None)
+            # reference saves every epoch (model.py:149); CKPT_EPOCH_INTERVAL
+            # thins that out for fast-epoch workloads where the orbax save
+            # dominates wall time (the final epoch always saves)
+            ck_int = int(cfg.get("CKPT_EPOCH_INTERVAL", 1))
+            if (epoch % max(ck_int, 1) == 0 or int(self.state.step) >= self.max_iteration
+                    or epoch == int(cfg.MAX_EPOCHES)):
+                self.ckpt.save(self.state, eva_res if eva_res >= 0 else None)
             if cfg.VALID_INTERVAL > 0 and epoch % cfg.VALID_INTERVAL == 0:
                 print("\nstart validation...")
                 metrics = evaluate(
