@@ -172,7 +172,10 @@ class SSGScenes:
                        if len(chans) > 1 else ply.points)
                 mesh = {"points": pts, "instances": ply.instances}
             if npz_path:
-                np.savez_compressed(npz_path, **mesh)
+                # uncompressed: savez_compressed made cache-building ~5x
+                # slower than the parse it caches (~450 KB/scan raw —
+                # ~0.5 GB for the full 3RScan split, cheap on disk)
+                np.savez(npz_path, **mesh)
         self._mesh_cache[scan] = mesh
         while len(self._mesh_cache) > self._mesh_cache_size:
             self._mesh_cache.popitem(last=False)
