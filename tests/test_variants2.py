@@ -129,6 +129,15 @@ def test_in21k_registry():
     assert "obj_logit_scale" not in v["params"]
     out = model.apply(v, batch, istrain=False)
     assert out["obj_logits_3d"].shape == (1, batch.num_nodes, 20)
+    # in21k protocol: mimic terms are dropped from the total
+    # (model_in21k.py comments them out of the sum, :368-375)
+    out_tr, _ = model.apply(v, batch, istrain=True,
+                            rngs={"dropout": jax.random.PRNGKey(2)},
+                            mutable=["batch_stats"])
+    total, aux = loss_fn(out_tr, batch)
+    assert np.isfinite(float(total))
+    assert float(aux["mimic_loss"]) == 0.0
+    assert float(aux["rel_mimic_loss_2d"]) == 0.0
     for nm in ("MMteacher", "SGGpoint", "SGGpointBaseline"):
         m, lf = build_model(nm, 20, 7, cfg.MODEL)
         assert m is not None and callable(lf)

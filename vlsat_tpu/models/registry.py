@@ -92,7 +92,11 @@ def build_model(name: str, num_obj: int, num_rel: int, mcfg,
         )
         from functools import partial
 
-        loss = partial(losses.vlsat_total_loss, multi_rel=mcfg.multi_rel_outputs)
+        # in21k drops the mimic terms from the total (model_in21k.py
+        # comments them out of the sum, :368-375); point_feature_size 760
+        # < clip_feat_dim means the 512-d mimic tap does not exist here
+        loss = partial(losses.vlsat_total_loss,
+                       multi_rel=mcfg.multi_rel_outputs, with_mimic=False)
         return MMGNet(cfg=cfg), loss
     if name == "SGGpoint":
         from vlsat_tpu.models.sggpoint import SGGpoint, SGGpointConfig, sggpoint_loss

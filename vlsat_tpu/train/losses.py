@@ -198,7 +198,11 @@ def vlsat_total_loss(
     weight_mode: str = "DYNAMIC",
     w_bg: float = 1.0,
     weights_rel: Optional[jnp.ndarray] = None,
+    with_mimic: bool = True,
 ) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """``with_mimic=False`` is the in21k protocol: the reference's
+    model_in21k.py comments the mimic terms out of the total
+    (:368-375,395-399), leaving lambda_o*(obj2d+obj3d)+3*(rel2d+rel3d)."""
     lambda_r = 1.0
     lam_max = max(lambda_r, lambda_o)
     lambda_r, lambda_o = lambda_r / lam_max, lambda_o / lam_max
@@ -219,16 +223,17 @@ def vlsat_total_loss(
         loss_rel_2d = single_label_rel_nll(outputs["rel_cls_2d"], batch.gt_rels,
                                            w, batch.edge_mask)
 
-    loss_mimic = cosine_mimic_loss(
-        outputs["obj_feature_3d_mimic"], outputs["obj_features_2d_mimic"],
-        batch.obj_mask,
-    )
-    if batch.rel_text_feat is not None:
-        loss_rel_mimic = rel_mimic_l1(
-            outputs["edge_feature_2d_dis"], batch.rel_text_feat, batch.edge_mask
+    loss_mimic = jnp.asarray(0.0)
+    loss_rel_mimic = jnp.asarray(0.0)
+    if with_mimic:
+        loss_mimic = cosine_mimic_loss(
+            outputs["obj_feature_3d_mimic"], outputs["obj_features_2d_mimic"],
+            batch.obj_mask,
         )
-    else:
-        loss_rel_mimic = jnp.asarray(0.0)
+        if batch.rel_text_feat is not None:
+            loss_rel_mimic = rel_mimic_l1(
+                outputs["edge_feature_2d_dis"], batch.rel_text_feat, batch.edge_mask
+            )
 
     total = (
         lambda_o * (loss_obj_2d + loss_obj_3d)
