@@ -71,6 +71,14 @@ def evaluate(
     sr_cls: Dict[str, list] = {k: [] for k in sr_acc}
     progbar = Progbar(total, width=20) if verbose else None
     seen = 0
+    # running hit/total counters for the progress line: O(1) per scene
+    # instead of re-scanning the ever-growing rank lists
+    prog_hits = {"obj": 0, "rel": 0, "trip": 0}
+    prog_tot = {"obj": 0, "rel": 0, "trip": 0}
+
+    def _pct(key: str) -> float:
+        t = prog_tot[key]
+        return prog_hits[key] * 100.0 / t if t else 0.0
 
     has_2d = True
     for batch in loader:
@@ -102,9 +110,15 @@ def evaluate(
             ev = int(edge_mask[s].sum())
             if nv == 0:
                 continue
-            acc["topk_obj"].extend(obr3[s, :nv])
-            acc["topk_rel"].extend(
+            obj_r = obr3[s, :nv]
+            rel_r = np.asarray(
                 assemble_predicate_topk(pr3[s, :ev], png3[s, :ev], gt_rels[s, :ev]))
+            acc["topk_obj"].extend(obj_r)
+            acc["topk_rel"].extend(rel_r)
+            prog_hits["obj"] += int((obj_r <= 1).sum())
+            prog_tot["obj"] += len(obj_r)
+            prog_hits["rel"] += int((rel_r <= 1).sum())
+            prog_tot["rel"] += len(rel_r)
             if has_2d:
                 acc["topk_obj_2d"].extend(obr2[s, :nv])
                 acc["topk_rel_2d"].extend(
@@ -138,11 +152,14 @@ def evaluate(
                 t3 = assemble_triplet_topk(
                     np.asarray(tr3), np.asarray(tng3), gt_rels[s, :ev],
                     sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]], **scores)
-                acc["topk_triplet"].extend(t3["topk"])
+                trip_r = np.asarray(t3["topk"])
+                acc["topk_triplet"].extend(trip_r)
+                prog_hits["trip"] += int((trip_r <= 50).sum())
+                prog_tot["trip"] += len(trip_r)
                 if has_2d:
                     t2 = assemble_triplet_topk(
                         np.asarray(tr2), np.asarray(tng2), gt_rels[s, :ev],
-                        sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]])
+                        sub_cls, obj_cls, obr2[s][ei[:, 0]], obr2[s][ei[:, 1]])
                     acc["topk_triplet_2d"].extend(t2["topk"])
                 cls_rows.append(t3["cls_matrix"])
                 if scene_recall and gt_rels[s, :ev].sum() > 0:
@@ -169,9 +186,9 @@ def evaluate(
             seen += 1
             if progbar is not None:
                 progbar.update(seen, [
-                    ("Acc@1/obj", topk_accuracy(np.asarray(acc["topk_obj"]), 1)),
-                    ("Acc@1/rel", topk_accuracy(np.asarray(acc["topk_rel"]), 1)),
-                    ("Acc@50/trip", topk_accuracy(np.asarray(acc["topk_triplet"]), 50)),
+                    ("Acc@1/obj", _pct("obj")),
+                    ("Acc@1/rel", _pct("rel")),
+                    ("Acc@50/trip", _pct("trip")),
                 ])
 
     arr = {k: np.asarray(v) for k, v in acc.items()}

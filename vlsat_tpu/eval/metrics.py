@@ -270,7 +270,8 @@ def get_zero_shot_recall(
     for i, row in enumerate(cls_matrix):
         if row[-1] == -1:
             continue
-        key = f"{row[0]} {row[2]} {row[-1]}" if len(row) == 5 else f"{row[0]} {row[1]} {row[-1]}"
+        # cls_matrix rows are always [sub_gt, sub_rank, obj_gt, obj_rank, pred]
+        key = f"{row[0]} {row[2]} {row[-1]}"
         if key not in train_triplets:
             zero.append(triplet_rank[i])
         else:

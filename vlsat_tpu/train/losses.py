@@ -35,14 +35,9 @@ def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    logp = logits - jax_logsumexp(logits)
+    logp = logits - jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return masked_mean(nll, mask)
-
-
-def jax_logsumexp(x: jnp.ndarray) -> jnp.ndarray:
-    m = x.max(axis=-1, keepdims=True)
-    return m + jnp.log(jnp.exp(x - m).sum(axis=-1, keepdims=True))
 
 
 def dynamic_rel_weights(
