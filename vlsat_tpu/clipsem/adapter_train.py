@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,57 @@ def parse_quality_list(path: str) -> List[MultiViewRecord]:
             if m:
                 out.append(MultiViewRecord(**m.groupdict()))
     return out
+
+
+_PC_ANGLES = (0, 30, -30, 60, -60)
+
+
+@dataclass
+class MultiViewPCRecord:
+    """One sample of the 5-angle rendered-point-cloud adapter dataset
+    (reference ``MultiViewPCDataset``, clip_adapter/dataset.py:46-97):
+    five view images of one instance + its class-label index."""
+
+    paths: Tuple[str, ...]
+    label: int
+
+
+def parse_pc_data_list(data_list_path: str, labels: Sequence[str],
+                       root_path: str = "") -> List[MultiViewPCRecord]:
+    """Parse the quality-list file into 5-angle rendered-image records
+    (clip_adapter/dataset.py:70-90): per line, image paths
+    ``{root}/{scene}/multi_view_pc/{instance}_{label}_{angle}.jpg`` for
+    angles (0, 30, -30, 60, -60), label resolved against ``labels``."""
+    records: List[MultiViewPCRecord] = []
+    with open(data_list_path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            items = line.strip().split(":")
+            scene_id = items[1].split(" ")[0]
+            instance_id = items[2].split(" ")[0]
+            label_name = " ".join(items[3].split(" ")[0:-1])
+            paths = tuple(
+                f"{root_path}/{scene_id}/multi_view_pc/"
+                f"{instance_id}_{label_name}_{angle}.jpg"
+                for angle in _PC_ANGLES)
+            records.append(MultiViewPCRecord(paths=paths,
+                                             label=labels.index(label_name)))
+    return records
+
+
+def load_pc_views(record: MultiViewPCRecord, size: int = 224) -> np.ndarray:
+    """Load one record's 5 view images as a (5, 3, size, size) float32
+    array in [0, 1] — the resize(224)+RGB+ToTensor transform of the
+    reference dataset (clip_adapter/dataset.py:56-61,91-97)."""
+    from PIL import Image
+
+    views = []
+    for path in record.paths:
+        img = Image.open(path).resize((size, size)).convert("RGB")
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        views.append(arr.transpose(2, 0, 1))
+    return np.stack(views, axis=0)
 
 
 def smooth_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,

@@ -48,6 +48,31 @@ def load_relationship_json(root: str, split: str) -> dict:
         return json.load(f)
 
 
+def load_semseg(json_file: str, name_mapping_dict: Dict[str, str] | None = None,
+                mapping: bool = True) -> Dict[int, str]:
+    """semseg.v2.json -> {instance id: label name} (utils/util.py:44-83),
+    the reader feeding the offline relationship generators
+    (``instance_names`` of :mod:`vlsat_tpu.preprocess.gen_data`).
+
+    With ``name_mapping_dict``: ``mapping=True`` maps each raw label through
+    the dict (missing keys become ``'none'``); ``mapping=False`` uses it as
+    a filter instead — labels not among the dict's *values* become
+    ``'none'``.  Names are lowercased after mapping, as the reference does.
+    """
+    with open(json_file) as f:
+        data = json.load(f)
+    instance2label: Dict[int, str] = {}
+    for group in data["segGroups"]:
+        label = group["label"]
+        if name_mapping_dict is not None:
+            if mapping:
+                label = name_mapping_dict.get(label, "none")
+            elif label not in name_mapping_dict.values():
+                label = "none"
+        instance2label[int(group["id"])] = label.lower()
+    return instance2label
+
+
 @dataclass
 class SceneAnnotation:
     scan_id: str                     # "<scan>_<split>"

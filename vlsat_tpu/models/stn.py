@@ -42,3 +42,13 @@ def apply_transform(pts: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
     """(..., P, k) x (..., k, k) -> transformed points (torch.bmm path,
     network_PointNet.py:126-137)."""
     return jnp.einsum("...pk,...kj->...pj", pts, trans)
+
+
+def feature_transform_regularizer(trans: jnp.ndarray) -> jnp.ndarray:
+    """Orthogonality penalty mean_b ||T_b T_b^t - I||_F on predicted
+    transforms (network_PointNet.py:640-647; dead under shipped configs
+    since feature_transform=false, provided with the STNs for ablations)."""
+    k = trans.shape[-1]
+    eye = jnp.eye(k, dtype=trans.dtype)
+    diff = jnp.einsum("...ij,...kj->...ik", trans, trans) - eye
+    return jnp.mean(jnp.sqrt(jnp.sum(diff * diff, axis=(-2, -1))))

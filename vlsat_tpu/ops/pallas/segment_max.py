@@ -14,9 +14,14 @@ Semantics match ``vlsat_tpu.ops.graph._segment_reduce(aggr="max")``
 aggregates to 0, a node whose true max is negative keeps it.  Invalid
 (padded) edges carry segment id ``num_nodes`` and never match the iota.
 
-Scope: forward-only (inference path — ``pallas_call`` is not
-differentiable without a custom VJP) and single-device (the data-parallel
-eval path keeps the XLA scatter).
+Scope: the kernel itself is a forward primitive; the caller
+(``vlsat_tpu.ops.graph.scatter_edges_to_nodes``, graph.py:130-145) wraps
+it in a custom VJP that re-derives the gradient through the XLA scatter
+at the same primal, so differentiating through it works — callers still
+route *training* through the XLA scatter because its fused backward is
+cheaper.  Single-device only: under a sharded eval the gate in
+``_pallas_max_available`` keeps the XLA scatter (see PERFORMANCE.md,
+"Pallas segment-max under data parallelism" for why).
 """
 
 from __future__ import annotations

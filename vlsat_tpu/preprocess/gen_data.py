@@ -54,6 +54,79 @@ def bbox_groups(points: np.ndarray, segments: np.ndarray, seeds: Sequence[int],
     return groups
 
 
+def layered_growth_groups(
+    seeds: Sequence[int],
+    segments: np.ndarray,
+    neighbor_graph: Dict[int, Set[int]],
+    n_layers: int = 2,
+    min_seg_per_group: int = 5,
+) -> List[List[int]]:
+    """Instance-id groups by layered neighbor growth — the reference
+    generator's DEFAULT split method (``--split_method KNN``,
+    gen_data_gt.py:42,121-172): each seed point's segment is grown
+    ``n_layers`` times over the segment-neighbor graph; the group is the
+    union of the seed segment and every layer.  (The reference also
+    differences later layers against earlier ones, but only for a debug
+    print — the appended group is the plain union; and it builds per-segment
+    KD-trees/radius-padded bboxes it never reads in this path.)  Groups
+    smaller than ``min_seg_per_group`` are dropped, like the BBOX method.
+
+    ``seeds`` are point indices (from :func:`sample_seed_points`);
+    ``segments`` the per-point instance/segment ids; ``neighbor_graph``
+    a segment adjacency (:func:`build_neighbor_graph`, the counterpart of
+    the reference's ``find_neighbors`` with ``--radius_receptive``).
+    """
+    groups: List[List[int]] = []
+    for idx in seeds:
+        seg_id = int(segments[idx])
+        neighbors: Set[int] = {seg_id}
+        frontier: Set[int] = {seg_id}
+        for _ in range(n_layers):
+            layer: Set[int] = set()
+            for j in frontier:
+                layer |= set(int(x) for x in neighbor_graph.get(j, ()))
+            # the reference grows from the full accumulated set each layer
+            # (``for j in neighbors``); track it the same way
+            neighbors |= layer
+            frontier = set(neighbors)
+        if len(neighbors) < min_seg_per_group:
+            continue
+        groups.append(sorted(int(i) for i in neighbors))
+    return groups
+
+
+def generate_groups(
+    points: np.ndarray,
+    segments: np.ndarray,
+    split_method: str = "KNN",
+    distance: float = 1.0,
+    bbox_distance: float = 0.75,
+    min_seg_per_group: int = 5,
+    n_layers: int = 2,
+    neighbor_graph: Optional[Dict[int, Set[int]]] = None,
+    neighbor_radius: float = 0.5,
+    rng: Optional[np.random.RandomState] = None,
+) -> List[List[int]]:
+    """Scene -> subgraph groups, dispatching on the reference's
+    ``--split_method`` enum (gen_data_gt.py:42,87-99): ``"KNN"`` (default)
+    = seed sampling + layered neighbor growth, ``"BBOX"`` = seed sampling +
+    fixed bbox crop."""
+    rng = rng or np.random.RandomState(0)
+    seeds = sample_seed_points(points, distance=distance, rng=rng)
+    if split_method == "BBOX":
+        return bbox_groups(points, segments, seeds,
+                           bbox_distance=bbox_distance,
+                           min_seg_per_group=min_seg_per_group)
+    if split_method != "KNN":
+        raise ValueError(f"split_method must be 'KNN' or 'BBOX', got {split_method!r}")
+    if neighbor_graph is None:
+        neighbor_graph = build_neighbor_graph(points, segments,
+                                              radius=neighbor_radius, rng=rng)
+    return layered_growth_groups(seeds, segments, neighbor_graph,
+                                 n_layers=n_layers,
+                                 min_seg_per_group=min_seg_per_group)
+
+
 def split_scene_relationships(
     scan_id: str,
     instance_names: Dict[int, str],
