@@ -1,0 +1,108 @@
+"""Packed per-bucket tensor cache + multi-step training dispatch tests."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.mini_data import make_mini_dataset
+from vlsat_tpu.data.dataset import SSGScenes
+from vlsat_tpu.data.packed import PackedLoader, PackedScenes, pack_scenes
+from vlsat_tpu.data.synthetic import make_batch
+from vlsat_tpu.models import MMGNet, MMGNetConfig
+from vlsat_tpu.train.optim import make_optimizer
+from vlsat_tpu.train.state import create_train_state
+from vlsat_tpu.train.step import (
+    make_multi_train_step, make_train_step, stack_batches)
+
+
+@pytest.fixture(scope="module")
+def packed_root(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("packed")
+    root, scans = make_mini_dataset(tmp, num_scans=4, insts_per_scan=5,
+                                    no_rel_scan=2)
+    ds = SSGScenes(root, scans, "train_scans")
+    out = str(tmp / "pack")
+    pack_scenes(ds, out, seed=7, variants=2)
+    return root, scans, ds, out
+
+
+def test_pack_roundtrip(packed_root):
+    root, scans, ds, out = packed_root
+    packed = PackedScenes(out)
+    assert len(packed) == len(ds) == 4
+    # weights travel with the pack
+    np.testing.assert_allclose(packed.w_cls_obj, ds.w_cls_obj, rtol=1e-6)
+    np.testing.assert_allclose(packed.w_cls_rel, ds.w_cls_rel, rtol=1e-6)
+    total = 0
+    for b in packed.buckets:
+        batch = packed.batch(b, slice(0, packed.count(b)))
+        total += batch.num_scenes
+        # masks consistent with bucket shapes; 5 instances per mini scan
+        assert batch.num_nodes == b
+        nv = np.asarray(batch.obj_mask).sum(1)
+        assert (nv == 5).all()
+        ev = np.asarray(batch.edge_mask).sum(1)
+        assert (ev == 5 * 4).all()
+        assert np.isfinite(np.asarray(batch.obj_points)).all()
+        # padded node rows zeroed, valid descriptor finite
+        pts = np.asarray(batch.obj_points)
+        assert (pts[~np.asarray(batch.obj_mask)] == 0).all()
+    assert total == 4
+
+    # variants differ in the point draw but agree on labels/edges
+    b = packed.buckets[0]
+    b0 = packed.batch(b, slice(0, 1), variant=0)
+    b1 = packed.batch(b, slice(0, 1), variant=1)
+    np.testing.assert_array_equal(np.asarray(b0.gt_class), np.asarray(b1.gt_class))
+    np.testing.assert_array_equal(np.asarray(b0.edge_index), np.asarray(b1.edge_index))
+    np.testing.assert_array_equal(np.asarray(b0.gt_rels), np.asarray(b1.gt_rels))
+    assert np.abs(np.asarray(b0.obj_points) - np.asarray(b1.obj_points)).max() > 0
+
+
+def test_packed_loader_epochs(packed_root):
+    root, scans, ds, out = packed_root
+    packed = PackedScenes(out)
+    loader = PackedLoader(packed, batch_size=3, shuffle=True, seed=1)
+    n1 = sum(b.num_scenes for b in loader)
+    assert n1 == 4
+    assert loader.epoch == 1
+    # epoch 2 cycles to variant 1 and still covers every scene
+    n2 = sum(b.num_scenes for b in loader)
+    assert n2 == 4
+
+    # drop_relation_free drops the relation-free mini scan
+    out2 = out + "_norel"
+    pack_scenes(SSGScenes(root, scans, "train_scans"), out2, seed=7,
+                drop_relation_free=True)
+    packed2 = PackedScenes(out2)
+    assert len(packed2) == 3
+
+
+def test_multi_step_matches_sequential_steps():
+    model = MMGNet(cfg=MMGNetConfig(num_obj_classes=20, num_rel_classes=7))
+    opt = make_optimizer(lr=1e-3, max_iteration=1000)
+    batches = [
+        make_batch(seed=s, node_counts=(4, 6), num_points=16, with_text=True,
+                   num_obj_classes=20, num_rel_classes=7)
+        for s in range(3)
+    ]
+    state = create_train_state(model, batches[0], opt, seed=0)
+    step = make_train_step(model, opt, donate=False)
+    multi = make_multi_train_step(model, opt, donate=False)
+
+    rng = jax.random.PRNGKey(42)
+    st_seq = state
+    seq_losses = []
+    for i, b in enumerate(batches):
+        st_seq, aux = step(st_seq, b, jax.random.fold_in(rng, i))
+        seq_losses.append(float(aux["loss"]))
+
+    st_multi, aux_m = multi(state, stack_batches(batches), rng)
+    np.testing.assert_allclose(
+        np.asarray(aux_m["losses"]), np.asarray(seq_losses), rtol=2e-5)
+    assert int(st_multi.step) == 3
+    # final params match the sequential path
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        st_multi.params, st_seq.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 2e-5

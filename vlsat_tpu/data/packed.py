@@ -1,0 +1,203 @@
+"""Packed per-bucket tensor cache: the zero-host-work input pipeline.
+
+Round 2 measured the per-item host path (sample points, compute
+descriptor, pad, collate — ``SSGScenes.prepare`` + ``pad_scene``) at
+~1.3K scenes/s warm on this one-core host vs a ~2.4K scenes/s device train
+step: the loader was the end-to-end bottleneck even with the C++ core
+(PERFORMANCE.md "Host input pipeline").  This module removes the per-item
+Python entirely: scenes are prepared ONCE, padded to their node-count
+bucket, and stored as one contiguous tensor per (bucket, field) on disk;
+the loader then memory-maps those tensors and a batch is a single
+array slice — no sampling, no padding, no stacking at iteration time.
+
+Trade-off (deliberate, documented): the reference resamples each
+instance's 128 points every epoch (dataset_3dssg.py:289-290) as implicit
+augmentation; a pack freezes one draw.  ``pack_scenes(variants=k)`` packs
+k independent draws and the loader cycles one variant per epoch, restoring
+epoch-to-epoch sampling diversity at k x disk cost.  Eval protocols sample
+once per run anyway, so eval packs lose nothing.
+
+Counterpart-wise this replaces the reference's DataLoader(num_workers=4)
+path (src/dataset/DataLoader.py) — the reference re-parses the scan PLY
+per item (dataset_3dssg.py:146); this is the opposite end of that
+engineering spectrum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vlsat_tpu.scene import (
+    DEFAULT_NODE_BUCKETS, SceneBatch, pad_scene, pick_bucket)
+
+_FIELDS = ("obj_points", "obj_mask", "descriptor", "obj_2d_feats",
+           "gt_class", "edge_index", "edge_mask", "gt_rels")
+_OPT_FIELDS = ("rel_text_feat", "rel_points")
+
+
+def pack_scenes(
+    scenes,
+    out_dir: str,
+    buckets: Sequence[int] = DEFAULT_NODE_BUCKETS,
+    seed: int = 2020,
+    variants: int = 1,
+    drop_relation_free: bool = False,
+) -> dict:
+    """Prepare + pad every scene of an ``SSGScenes`` split and store per-
+    bucket stacked tensors under ``out_dir``.  Returns the manifest (also
+    written to ``manifest.json``).
+
+    ``variants``: number of independent point-sampling draws to pack
+    (epoch diversity; the loader cycles them).  ``drop_relation_free``:
+    exclude scenes without any GT relation (the reference resamples them
+    away during training, dataset_3dssg.py:163-171)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rel_start = 0 if scenes.multi_rel else 1
+    manifest = {
+        "buckets": {}, "seed": seed, "variants": variants,
+        "scan_ids": [s.scan_id for s in scenes.index.scenes],
+        "feat_dim": scenes.feat_dim,
+        "num_points": scenes.num_points,
+        "multi_rel": scenes.multi_rel,
+        "w_cls_obj": np.asarray(scenes.w_cls_obj, np.float64).tolist(),
+        "w_cls_rel": np.asarray(scenes.w_cls_rel, np.float64).tolist(),
+    }
+
+    for v in range(variants):
+        rng = np.random.RandomState(seed + 1000 * v)
+        groups: Dict[int, List[Tuple[int, dict]]] = {}
+        for i in range(len(scenes)):
+            s = scenes.prepare(i, rng)
+            if drop_relation_free and (
+                len(s["edge_index"]) == 0
+                or s["gt_rels"][:, rel_start:].sum() == 0
+            ):
+                continue
+            b = pick_bucket(s["obj_points"].shape[0], buckets)
+            padded = pad_scene(
+                s["obj_points"], s["descriptor"], s["obj_2d_feats"],
+                s["gt_class"], s["edge_index"], s["gt_rels"], n_max=b,
+                rel_text_feat=s.get("rel_text_feat"),
+                rel_points=s.get("rel_points"),
+                feat_dim=scenes.feat_dim,
+            )
+            groups.setdefault(b, []).append((i, padded))
+        for b, items in sorted(groups.items()):
+            idxs = [i for i, _ in items]
+            fields = list(_FIELDS) + [f for f in _OPT_FIELDS
+                                      if f in items[0][1]]
+            for f in fields:
+                arr = np.stack([p[f] for _, p in items])
+                np.save(os.path.join(out_dir, f"v{v}_b{b}_{f}.npy"), arr)
+            if v == 0:
+                manifest["buckets"][str(b)] = {
+                    "count": len(items), "scene_indices": idxs,
+                    "fields": fields,
+                }
+            else:
+                # all variants must produce identical grouping: the node
+                # sets are draw-independent (only point sampling varies)
+                assert manifest["buckets"][str(b)]["scene_indices"] == idxs, \
+                    f"variant {v} grouped bucket {b} differently"
+
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+class PackedScenes:
+    """Memory-mapped access to a packed split."""
+
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.buckets = sorted(int(b) for b in self.manifest["buckets"])
+        self.variants = int(self.manifest.get("variants", 1))
+        self.w_cls_obj = np.asarray(self.manifest["w_cls_obj"], np.float32)
+        self.w_cls_rel = np.asarray(self.manifest["w_cls_rel"], np.float32)
+        self._arrays: Dict[Tuple[int, int, str], np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return sum(m["count"] for m in self.manifest["buckets"].values())
+
+    def fields(self, bucket: int) -> List[str]:
+        return self.manifest["buckets"][str(bucket)]["fields"]
+
+    def count(self, bucket: int) -> int:
+        return self.manifest["buckets"][str(bucket)]["count"]
+
+    def array(self, bucket: int, field: str, variant: int = 0) -> np.ndarray:
+        key = (variant, bucket, field)
+        if key not in self._arrays:
+            self._arrays[key] = np.load(
+                os.path.join(self.root, f"v{variant}_b{bucket}_{field}.npy"),
+                mmap_mode="r")
+        return self._arrays[key]
+
+    def batch(self, bucket: int, idx, variant: int = 0) -> SceneBatch:
+        """Materialize a SceneBatch for rows ``idx`` (slice or index array)
+        of one bucket — slices of already-padded, already-collated mmap
+        tensors."""
+        fields = self.fields(bucket)
+        get = lambda f: np.ascontiguousarray(self.array(bucket, f, variant)[idx])
+        return SceneBatch(
+            obj_points=get("obj_points"),
+            obj_mask=get("obj_mask"),
+            descriptor=get("descriptor"),
+            obj_2d_feats=get("obj_2d_feats"),
+            gt_class=get("gt_class"),
+            edge_index=get("edge_index"),
+            edge_mask=get("edge_mask"),
+            gt_rels=get("gt_rels"),
+            rel_text_feat=(get("rel_text_feat")
+                           if "rel_text_feat" in fields else None),
+            rel_points=(get("rel_points") if "rel_points" in fields else None),
+        )
+
+
+class PackedLoader:
+    """Batch iterator over a PackedScenes split.
+
+    Shuffled epochs permute within each bucket (batches stay same-bucket,
+    as the SceneLoader's bucketing does); sequential epochs emit contiguous
+    slices (pure mmap reads, no copy beyond the device transfer).  Each
+    epoch advances the pack variant cyclically when more than one draw was
+    packed."""
+
+    def __init__(self, packed: PackedScenes, batch_size: int,
+                 shuffle: bool = False, seed: int = 2020,
+                 drop_last: bool = False):
+        self.packed = packed
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = 0
+        for b in self.packed.buckets:
+            c = self.packed.count(b)
+            n += c // self.batch_size if self.drop_last \
+                else -(-c // self.batch_size)
+        return n
+
+    def __iter__(self) -> Iterator[SceneBatch]:
+        rng = np.random.RandomState(self.seed + self.epoch)
+        variant = self.epoch % self.packed.variants
+        for b in self.packed.buckets:
+            c = self.packed.count(b)
+            order = rng.permutation(c) if self.shuffle else None
+            for start in range(0, c, self.batch_size):
+                stop = min(start + self.batch_size, c)
+                if self.drop_last and stop - start < self.batch_size:
+                    break
+                idx = (order[start:stop] if order is not None
+                       else slice(start, stop))
+                yield self.packed.batch(b, idx, variant)
+        self.epoch += 1

@@ -49,6 +49,86 @@ def make_scene(
     )
 
 
+def make_synthetic_split(
+    base_dir: str,
+    num_scans: int = 64,
+    insts_per_scan=(9, 16),
+    vertices_per_inst: int = 600,
+    rels_per_scan: int = 12,
+    seed: int = 0,
+    split: str = "validation",
+) -> tuple:
+    """Fabricate a 3DSSG-style split on disk for end-to-end benchmarks:
+    mesh tensors are written straight into the loader's npz cache format
+    (the PLY parse they replace is benchmarked separately,
+    PERFORMANCE.md "Host input pipeline"), plus the relationships JSON and
+    class/relation lists.  Returns (root, scans_root, cache_root).
+
+    Idempotent per (base_dir, parameters): reuses an existing build.
+    """
+    import json
+    import os
+
+    root = os.path.join(base_dir, "3dssg")
+    scans_root = os.path.join(base_dir, "scans")
+    cache_root = os.path.join(base_dir, "cache")
+    stamp = os.path.join(base_dir, "stamp.json")
+    params = dict(num_scans=num_scans, insts=list(insts_per_scan),
+                  verts=vertices_per_inst, rels=rels_per_scan, seed=seed,
+                  split=split)
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            if json.load(f) == params:
+                return root, scans_root, cache_root
+    for d in (root, scans_root, cache_root):
+        os.makedirs(d, exist_ok=True)
+
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets", "3dssg")
+    for name in ("classes.txt", "relationships.txt", "relations.txt"):
+        with open(os.path.join(assets, name)) as src, \
+                open(os.path.join(root, name), "w") as dst:
+            dst.write(src.read())
+    with open(os.path.join(root, "classes.txt")) as f:
+        classes = [l.strip() for l in f if l.strip()]
+    with open(os.path.join(root, "relationships.txt")) as f:
+        rel_names = [l.strip() for l in f if l.strip()]
+
+    rng = np.random.RandomState(seed)
+    lo, hi = insts_per_scan
+    scan_ids = [f"synth{i:04d}-scan" for i in range(num_scans)]
+    scenes = []
+    for scan in scan_ids:
+        n = int(rng.randint(lo, hi + 1))
+        pts, inst = [], []
+        for iid in range(1, n + 1):
+            c = rng.randn(3).astype(np.float32) * 2.5
+            pts.append(c + rng.randn(vertices_per_inst, 3).astype(np.float32)
+                       * (0.2 + rng.rand(3).astype(np.float32)))
+            inst.append(np.full(vertices_per_inst, iid, np.int32))
+        np.savez(os.path.join(cache_root, f"{scan}.npz"),
+                 points=np.concatenate(pts).astype(np.float32),
+                 instances=np.concatenate(inst))
+        objects = {str(i): classes[int(rng.randint(len(classes)))]
+                   for i in range(1, n + 1)}
+        rels = []
+        for _ in range(rels_per_scan):
+            a, b = rng.choice(np.arange(1, n + 1), 2, replace=False)
+            r = int(rng.randint(1, len(rel_names)))  # skip 'none'
+            rels.append([int(a), int(b), r, rel_names[r]])
+        scenes.append({"scan": scan, "split": 1, "objects": objects,
+                       "relationships": rels})
+
+    for s in ("train", "validation"):
+        with open(os.path.join(root, f"relationships_{s}.json"), "w") as f:
+            json.dump({"scans": scenes}, f)
+        with open(os.path.join(root, f"{s}_scans.txt"), "w") as f:
+            f.write("\n".join(scan_ids))
+    with open(stamp, "w") as f:
+        json.dump(params, f)
+    return root, scans_root, cache_root
+
+
 def make_batch(
     seed: int = 0,
     node_counts=(5, 9),

@@ -6,16 +6,29 @@ then report Acc@k, per-class mean predicate accuracy, mean recall and
 zero-shot recall, optionally dumping the reference's eval artifacts
 (topk lists, cls_matrix, score arrays, result.txt).
 
-Device work per scene is three count kernels (vlsat_tpu.eval.metrics);
-host work is tiny list assembly.
+Round-3 engineering (the reference's eval bottleneck was Python per-edge
+loops, eva_utils_acc.py:137-213; round 2 of this rebuild still dispatched
+the triplet ranks per *scene* and assembled per scene in Python):
+
+  * ONE device dispatch per batch — the model forward and every rank
+    kernel (object/predicate/triplet, 3D+2D) trace into a single jitted
+    program (``jit`` composes through the already-jitted ``eval_step``),
+    so a remote-TPU dispatch ceiling of ~230 calls/s bounds batches, not
+    scenes;
+  * host assembly is flat over the whole batch: masked scene-major
+    flattening reproduces the per-scene accumulation order exactly while
+    replacing the per-scene Python loop with a handful of NumPy ops
+    (vlsat_tpu.eval.metrics vectorized assembly).
 """
 
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from vlsat_tpu.eval.metrics import (
@@ -31,6 +44,60 @@ from vlsat_tpu.eval.metrics import (
 )
 from vlsat_tpu.scene import SceneBatch
 from vlsat_tpu.utils.progbar import Progbar
+
+
+def _metric_parts(out, batch: SceneBatch, single_label: bool,
+                  with_probs: bool, with_raw: bool) -> Dict[str, jnp.ndarray]:
+    """Rank tensors for a whole batch (traced into the fused eval jit).
+
+    ``single_label`` quirk parity: predicate ranks consume the RAW
+    log-probs (the reference's process_val passes them as-is, so the
+    0.5-confidence rule compares against log-space values) while triplet
+    confidences use exp(log-probs) (eva_utils_acc.py:146-147).
+    """
+    parts: Dict[str, jnp.ndarray] = {}
+    tags = ("3d", "2d") if out.get("obj_logits_2d") is not None else ("3d",)
+    for tag in tags:
+        ol = out[f"obj_logits_{tag}"]
+        rc = out[f"rel_cls_{tag}"]
+        rc_trip = jnp.exp(rc) if single_label else rc
+        parts[f"obr_{tag}"] = object_ranks(ol, batch.gt_class, topk=11)
+        parts[f"pr_{tag}"], parts[f"png_{tag}"] = predicate_rank_parts(rc, topk=6)
+        # chunk: static at trace time; E per scene is small (<= bucket^2)
+        chunk = min(256, batch.num_edges)
+        parts[f"tr_{tag}"], parts[f"tng_{tag}"] = jax.vmap(
+            partial(triplet_rank_parts, topk=101, chunk=chunk)
+        )(ol, batch.gt_class, rc_trip, batch.edge_index)
+    if with_probs:
+        parts["probs_3d"] = jax.nn.softmax(
+            out["obj_logits_3d"].astype(jnp.float32), axis=-1)
+    if with_raw:
+        parts["rel_cls_3d"] = jnp.exp(out["rel_cls_3d"]) if single_label \
+            else out["rel_cls_3d"]
+        parts["obj_logits_3d"] = out["obj_logits_3d"]
+    return parts
+
+
+# fused (model forward + rank kernels) jits, cached per eval_step so repeat
+# validation passes reuse the compiled program; values hold a strong ref to
+# the eval_step, keeping the id() key unique for the cache's lifetime
+_FUSED_CACHE: Dict[tuple, tuple] = {}
+
+
+def _get_fused(eval_step, single_label: bool, with_probs: bool, with_raw: bool):
+    key = (id(eval_step), single_label, with_probs, with_raw)
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
+    @jax.jit
+    def fused(params, batch_stats, batch):
+        out = eval_step(params, batch_stats, batch)
+        return _metric_parts(out, batch, single_label=single_label,
+                             with_probs=with_probs, with_raw=with_raw)
+
+    _FUSED_CACHE[key] = (fused, eval_step)
+    return fused
 
 
 def evaluate(
@@ -71,8 +138,7 @@ def evaluate(
     sr_cls: Dict[str, list] = {k: [] for k in sr_acc}
     progbar = Progbar(total, width=20) if verbose else None
     seen = 0
-    # running hit/total counters for the progress line: O(1) per scene
-    # instead of re-scanning the ever-growing rank lists
+    # running hit/total counters for the progress line: O(1) per batch
     prog_hits = {"obj": 0, "rel": 0, "trip": 0}
     prog_tot = {"obj": 0, "rel": 0, "trip": 0}
 
@@ -80,116 +146,104 @@ def evaluate(
         t = prog_tot[key]
         return prog_hits[key] * 100.0 / t if t else 0.0
 
+    fused = _get_fused(eval_step, single_label=not multi_rel,
+                       with_probs=with_scores,
+                       with_raw=scene_recall or with_scores)
+
     has_2d = True
     for batch in loader:
-        out = eval_step(params, batch_stats, batch)
-        # serving mode (branch_3d_only) emits no 2D outputs: report the 3D
-        # metric families only
-        has_2d = out.get("obj_logits_2d") is not None
-        obr3 = np.asarray(object_ranks(out["obj_logits_3d"], batch.gt_class, topk=11))
-        pr3, png3 = predicate_rank_parts(out["rel_cls_3d"], topk=6)
-        pr3, png3 = np.asarray(pr3), np.asarray(png3)
-        if has_2d:
-            obr2 = np.asarray(object_ranks(out["obj_logits_2d"], batch.gt_class, topk=11))
-            pr2, png2 = predicate_rank_parts(out["rel_cls_2d"], topk=6)
-            pr2, png2 = np.asarray(pr2), np.asarray(png2)
+        p = {k: np.asarray(v) for k, v in
+             fused(params, batch_stats, batch).items()}
+        has_2d = "obr_2d" in p
         obj_mask = np.asarray(batch.obj_mask)
         edge_mask = np.asarray(batch.edge_mask)
         gt_rels = np.asarray(batch.gt_rels)
         if not multi_rel:
             gt_rels = gt_rels.copy()
             gt_rels[..., 0] = 0  # 'none' targets -> no-GT edges
-            out = dict(out, rel_cls_3d=jax.numpy.exp(out["rel_cls_3d"]))
-            if has_2d:
-                out["rel_cls_2d"] = jax.numpy.exp(out["rel_cls_2d"])
         gt_class = np.asarray(batch.gt_class)
         edge_index = np.asarray(batch.edge_index)
 
-        for s in range(batch.num_scenes):
-            nv = int(obj_mask[s].sum())
-            ev = int(edge_mask[s].sum())
-            if nv == 0:
-                continue
-            obj_r = obr3[s, :nv]
-            rel_r = np.asarray(
-                assemble_predicate_topk(pr3[s, :ev], png3[s, :ev], gt_rels[s, :ev]))
-            acc["topk_obj"].extend(obj_r)
-            acc["topk_rel"].extend(rel_r)
-            prog_hits["obj"] += int((obj_r <= 1).sum())
-            prog_tot["obj"] += len(obj_r)
-            prog_hits["rel"] += int((rel_r <= 1).sum())
-            prog_tot["rel"] += len(rel_r)
+        # ---- flat (scene-major) assembly over the whole batch ----------
+        gt_f = gt_rels[edge_mask]                      # (sumE, R)
+        obj_f3 = p["obr_3d"][obj_mask]
+        rel_f3 = assemble_predicate_topk(
+            p["pr_3d"][edge_mask], p["png_3d"][edge_mask], gt_f)
+        acc["topk_obj"].extend(obj_f3)
+        acc["topk_rel"].extend(rel_f3)
+        prog_hits["obj"] += int((obj_f3 <= 1).sum())
+        prog_tot["obj"] += len(obj_f3)
+        prog_hits["rel"] += int((rel_f3 <= 1).sum())
+        prog_tot["rel"] += len(rel_f3)
+        if has_2d:
+            acc["topk_obj_2d"].extend(p["obr_2d"][obj_mask])
+            acc["topk_rel_2d"].extend(assemble_predicate_topk(
+                p["pr_2d"][edge_mask], p["png_2d"][edge_mask], gt_f))
+
+        if edge_mask.any():
+            bi = np.arange(batch.num_scenes)[:, None]
+            sub_idx, obj_idx = edge_index[..., 0], edge_index[..., 1]
+            sub_cls = gt_class[bi, sub_idx][edge_mask]
+            obj_cls = gt_class[bi, obj_idx][edge_mask]
+            rank_sub = p["obr_3d"][bi, sub_idx][edge_mask]
+            rank_obj = p["obr_3d"][bi, obj_idx][edge_mask]
+            scores = {}
+            if with_scores:
+                probs3 = p["probs_3d"]
+                scores = dict(
+                    sub_scores=probs3[bi, sub_idx][edge_mask],
+                    obj_scores=probs3[bi, obj_idx][edge_mask],
+                    rel_scores=p["rel_cls_3d"][edge_mask].astype(np.float32),
+                )
+            t3 = assemble_triplet_topk(
+                p["tr_3d"][edge_mask], p["tng_3d"][edge_mask], gt_f,
+                sub_cls, obj_cls, rank_sub, rank_obj, **scores)
+            trip_r = t3["topk"]
+            acc["topk_triplet"].extend(trip_r)
+            prog_hits["trip"] += int((trip_r <= 50).sum())
+            prog_tot["trip"] += len(trip_r)
+            cls_rows.append(t3["cls_matrix"])
             if has_2d:
-                acc["topk_obj_2d"].extend(obr2[s, :nv])
-                acc["topk_rel_2d"].extend(
-                    assemble_predicate_topk(pr2[s, :ev], png2[s, :ev], gt_rels[s, :ev]))
+                t2 = assemble_triplet_topk(
+                    p["tr_2d"][edge_mask], p["tng_2d"][edge_mask], gt_f,
+                    sub_cls, obj_cls,
+                    p["obr_2d"][bi, sub_idx][edge_mask],
+                    p["obr_2d"][bi, obj_idx][edge_mask])
+                acc["topk_triplet_2d"].extend(t2["topk"])
+            if with_scores:
+                sub_scores.append(t3["sub_scores"])
+                obj_scores.append(t3["obj_scores"])
+                rel_scores.append(t3["rel_scores"])
 
-            if ev:
-                # full padded shapes: compilations stay bounded by the
-                # bucket count, not by distinct valid-node counts; padded
-                # rows are sliced away below
-                tr3, tng3 = triplet_rank_parts(
-                    out["obj_logits_3d"][s], batch.gt_class[s],
-                    out["rel_cls_3d"][s], batch.edge_index[s], topk=101)
-                tr3, tng3 = tr3[:ev], tng3[:ev]
-                if has_2d:
-                    tr2, tng2 = triplet_rank_parts(
-                        out["obj_logits_2d"][s], batch.gt_class[s],
-                        out["rel_cls_2d"][s], batch.edge_index[s], topk=101)
-                    tr2, tng2 = tr2[:ev], tng2[:ev]
-                ei = edge_index[s, :ev]
-                sub_cls = gt_class[s][ei[:, 0]]
-                obj_cls = gt_class[s][ei[:, 1]]
-                scores = {}
-                if with_scores:
-                    probs3 = np.asarray(jax.nn.softmax(
-                        out["obj_logits_3d"][s, :nv].astype(np.float32), axis=-1))
-                    scores = dict(
-                        sub_scores=probs3[ei[:, 0]],
-                        obj_scores=probs3[ei[:, 1]],
-                        rel_scores=np.asarray(out["rel_cls_3d"][s, :ev]),
-                    )
-                t3 = assemble_triplet_topk(
-                    np.asarray(tr3), np.asarray(tng3), gt_rels[s, :ev],
-                    sub_cls, obj_cls, obr3[s][ei[:, 0]], obr3[s][ei[:, 1]], **scores)
-                trip_r = np.asarray(t3["topk"])
-                acc["topk_triplet"].extend(trip_r)
-                prog_hits["trip"] += int((trip_r <= 50).sum())
-                prog_tot["trip"] += len(trip_r)
-                if has_2d:
-                    t2 = assemble_triplet_topk(
-                        np.asarray(tr2), np.asarray(tng2), gt_rels[s, :ev],
-                        sub_cls, obj_cls, obr2[s][ei[:, 0]], obr2[s][ei[:, 1]])
-                    acc["topk_triplet_2d"].extend(t2["topk"])
-                cls_rows.append(t3["cls_matrix"])
-                if scene_recall and gt_rels[s, :ev].sum() > 0:
-                    from vlsat_tpu.eval.recall import scene_recall_topk
+        if scene_recall:
+            from vlsat_tpu.eval.recall import scene_recall_topk
 
-                    rel3 = np.asarray(out["rel_cls_3d"][s])
-                    ol3 = np.asarray(out["obj_logits_3d"][s])
-                    for name, mode in sr_combos:
-                        for tag, te in (("gc", 1), ("ngc", 100)):
-                            scalar, per_cls = scene_recall_topk(
-                                obj_logits=ol3, rel_probs=rel3,
-                                gt_rels=gt_rels[s], gt_class=gt_class[s],
-                                edge_index=edge_index[s],
-                                topk=(20, 50, 100), topk_each=te,
-                                num_rel_classes=num_rel_classes,
-                                evaluate=mode, valid_edges=ev,
-                                return_both=True)
-                            sr_acc[f"{name}_{tag}"].append(scalar)
-                            sr_cls[f"{name}_{tag}"].append(per_cls)
-                if with_scores:
-                    sub_scores.append(t3["sub_scores"])
-                    obj_scores.append(t3["obj_scores"])
-                    rel_scores.append(t3["rel_scores"])
-            seen += 1
-            if progbar is not None:
-                progbar.update(seen, [
-                    ("Acc@1/obj", _pct("obj")),
-                    ("Acc@1/rel", _pct("rel")),
-                    ("Acc@50/trip", _pct("trip")),
-                ])
+            rel_all = p["rel_cls_3d"]
+            ol_all = p["obj_logits_3d"]
+            for s in range(batch.num_scenes):
+                ev = int(edge_mask[s].sum())
+                if ev == 0 or gt_rels[s, :ev].sum() <= 0:
+                    continue
+                for name, mode in sr_combos:
+                    for tag, te in (("gc", 1), ("ngc", 100)):
+                        scalar, per_cls = scene_recall_topk(
+                            obj_logits=ol_all[s], rel_probs=rel_all[s],
+                            gt_rels=gt_rels[s], gt_class=gt_class[s],
+                            edge_index=edge_index[s],
+                            topk=(20, 50, 100), topk_each=te,
+                            num_rel_classes=num_rel_classes,
+                            evaluate=mode, valid_edges=ev,
+                            return_both=True)
+                        sr_acc[f"{name}_{tag}"].append(scalar)
+                        sr_cls[f"{name}_{tag}"].append(per_cls)
+
+        seen += int((obj_mask.sum(axis=1) > 0).sum())
+        if progbar is not None:
+            progbar.update(seen, [
+                ("Acc@1/obj", _pct("obj")),
+                ("Acc@1/rel", _pct("rel")),
+                ("Acc@50/trip", _pct("trip")),
+            ])
 
     arr = {k: np.asarray(v) for k, v in acc.items()}
     cls_matrix = np.concatenate(cls_rows) if cls_rows else np.zeros((0, 5), np.int64)

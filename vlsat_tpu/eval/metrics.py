@@ -130,9 +130,28 @@ def triplet_rank_parts(
 # host-side assembly (tiny arrays)
 # --------------------------------------------------------------------------
 
-def _discount(ranks: Sequence[int]) -> List[int]:
-    """sorted ranks r_0 <= r_1 <= ... -> [r_i - i] (eva_utils_acc.py:73-77)."""
-    return [t - c for c, t in enumerate(sorted(ranks))]
+def _discount_parts(
+    class_ranks: np.ndarray, no_gt_ranks: np.ndarray, gt_rels: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized multi-GT discounting over all edges at once.
+
+    Per edge the reference sorts that edge's GT ranks ascending and
+    subtracts the position index (``tmp - counter``, eva_utils_acc.py:73-77,
+    206-211); no-GT edges contribute their single threshold rank.  Returns
+    (per-edge padded value matrix (E, R), validity mask (E, R) selecting
+    each edge's first max(#GT, 1) slots, GT counts (E,)) — flattening
+    ``vals[valid]`` reproduces the reference's edge-major accumulation
+    order exactly.
+    """
+    e, r = gt_rels.shape
+    gt = gt_rels > 0
+    cnt = gt.sum(axis=1)
+    big = np.iinfo(np.int64).max
+    ranks = np.where(gt, class_ranks.astype(np.int64), big)
+    disc = np.sort(ranks, axis=1) - np.arange(r, dtype=np.int64)[None, :]
+    vals = np.where((cnt == 0)[:, None], no_gt_ranks.astype(np.int64)[:, None], disc)
+    valid = np.arange(r)[None, :] < np.maximum(cnt, 1)[:, None]
+    return vals, valid, cnt
 
 
 def assemble_predicate_topk(
@@ -142,15 +161,13 @@ def assemble_predicate_topk(
 
     class_ranks (E, R), no_gt_ranks (E,), gt_rels (E, R) in {0,1} — valid
     edges only.  Returns the flat rank array the reference accumulates.
+    Fully vectorized (the round-2 per-edge Python loop dominated eval host
+    time); byte-identical output order.
     """
-    res: List[int] = []
-    for e in range(gt_rels.shape[0]):
-        gts = np.nonzero(gt_rels[e])[0]
-        if len(gts) == 0:
-            res.extend(_discount([int(no_gt_ranks[e])]))
-        else:
-            res.extend(_discount([int(class_ranks[e, g]) for g in gts]))
-    return np.asarray(res)
+    if gt_rels.shape[0] == 0:
+        return np.zeros((0,), np.int64)
+    vals, valid, _ = _discount_parts(class_ranks, no_gt_ranks, gt_rels)
+    return vals[valid]
 
 
 def assemble_triplet_topk(
@@ -167,37 +184,39 @@ def assemble_triplet_topk(
 ) -> Dict[str, np.ndarray]:
     """Triplet ranks + cls_matrix (+score lists), reference layout:
     cls_matrix rows are [sub_gt, sub_rank, obj_gt, obj_rank, predicate]
-    with predicate=-1 for no-GT edges (eva_utils_acc.py:183-199)."""
-    res: List[int] = []
-    cls_rows: List[List[int]] = []
-    s_list, o_list, r_list = [], [], []
-    for e in range(gt_rels.shape[0]):
-        gts = np.nonzero(gt_rels[e])[0]
-        if len(gts) == 0:
-            res.extend(_discount([int(no_gt_ranks[e])]))
-            cls_rows.append([int(sub_cls[e]), int(obj_rank_sub[e]),
-                             int(obj_cls[e]), int(obj_rank_obj[e]), -1])
-        else:
-            res.extend(_discount([int(class_ranks[e, g]) for g in gts]))
-            for g in gts:
-                cls_rows.append([int(sub_cls[e]), int(obj_rank_sub[e]),
-                                 int(obj_cls[e]), int(obj_rank_obj[e]), int(g)])
-                if sub_scores is not None:
-                    s_list.append(sub_scores[e])
-                    o_list.append(obj_scores[e])
-                    r_list.append(rel_scores[e])
+    with predicate=-1 for no-GT edges (eva_utils_acc.py:183-199).
+
+    Vectorized; preserves the reference's ordering quirk: the rank list is
+    rank-sorted per edge while cls_matrix rows follow ascending GT class
+    index per edge (both edge-major).
+    """
+    e, r = gt_rels.shape
+    if e == 0:
+        z = np.zeros((0,), np.int64)
+        out = {"topk": z, "cls_matrix": np.zeros((0, 5), np.int64)}
+        if sub_scores is not None:
+            out["sub_scores"] = np.zeros((0, sub_scores.shape[-1]), np.float32)
+            out["obj_scores"] = np.zeros((0, obj_scores.shape[-1]), np.float32)
+            out["rel_scores"] = np.zeros((0, rel_scores.shape[-1]), np.float32)
+        return out
+    vals, valid, cnt = _discount_parts(class_ranks, no_gt_ranks, gt_rels)
+    counts = np.maximum(cnt, 1)
+    big = np.iinfo(np.int64).max
+    # GT class ids per edge in ascending order; -1 marks a no-GT edge row
+    pm = np.where(gt_rels > 0, np.arange(r, dtype=np.int64)[None, :], big)
+    preds = np.where((cnt == 0)[:, None], -1, np.sort(pm, axis=1))[valid]
+    rep = lambda a: np.repeat(np.asarray(a).astype(np.int64), counts)
     out = {
-        "topk": np.asarray(res),
-        "cls_matrix": np.asarray(cls_rows, dtype=np.int64),
+        "topk": vals[valid],
+        "cls_matrix": np.stack(
+            [rep(sub_cls), rep(obj_rank_sub), rep(obj_cls), rep(obj_rank_obj),
+             preds], axis=1),
     }
     if sub_scores is not None:
-        # scenes whose edges all lack GT produce empty lists; keep 2-D shape
-        out["sub_scores"] = (np.stack(s_list) if s_list
-                             else np.zeros((0, sub_scores.shape[-1]), np.float32))
-        out["obj_scores"] = (np.stack(o_list) if o_list
-                             else np.zeros((0, obj_scores.shape[-1]), np.float32))
-        out["rel_scores"] = (np.stack(r_list) if r_list
-                             else np.zeros((0, rel_scores.shape[-1]), np.float32))
+        keep = preds >= 0  # score rows exist only for GT predicates
+        out["sub_scores"] = np.repeat(sub_scores, counts, axis=0)[keep]
+        out["obj_scores"] = np.repeat(obj_scores, counts, axis=0)[keep]
+        out["rel_scores"] = np.repeat(rel_scores, counts, axis=0)[keep]
     return out
 
 

@@ -18,6 +18,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from vlsat_tpu.models.mmgnet import MMGNet
@@ -26,10 +27,10 @@ from vlsat_tpu.train.losses import vlsat_total_loss
 from vlsat_tpu.train.state import TrainState
 
 
-def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
-                    lambda_o: float = 0.1, donate: bool = True,
-                    objective=None):
-    """``objective(outputs, batch) -> (loss, aux)``; defaults to the
+def _raw_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
+                    lambda_o: float = 0.1, objective=None):
+    """The un-jitted train step (fwd + loss + bwd + optimizer).
+    ``objective(outputs, batch) -> (loss, aux)``; defaults to the
     flagship VL-SAT loss with the given lambda_o."""
     if objective is None:
         objective = lambda outputs, batch: vlsat_total_loss(outputs, batch, lambda_o=lambda_o)
@@ -62,7 +63,57 @@ def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
         )
         return new_state, aux
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
+                    lambda_o: float = 0.1, donate: bool = True,
+                    objective=None):
+    """Jitted single-batch train step (see ``_raw_train_step``)."""
+    step = _raw_train_step(model, optimizer, lambda_o=lambda_o,
+                           objective=objective)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_multi_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
+                          lambda_o: float = 0.1, donate: bool = True,
+                          objective=None):
+    """K train steps in ONE dispatch: ``lax.scan`` over a stack of K
+    batches (every SceneBatch leaf gains a leading K axis — see
+    ``stack_batches``).
+
+    Rationale: through a remote-TPU tunnel each dispatch costs ~4.3 ms of
+    host time while the B=8 device step takes ~3.3 ms, so a per-step
+    python loop is *dispatch-bound* (PERFORMANCE.md).  Scanning K steps
+    per dispatch amortizes the enqueue to 4.3/K ms; the host input
+    pipeline hands over K batches at a time.  RNG: per-step dropout keys
+    are folded from the dispatch key and the step index inside the scan,
+    identical in distribution to the per-step path.
+
+    Returns ``fn(state, stacked_batches, rng) -> (state, aux)`` with
+    ``aux['loss']`` the last step's loss and ``aux['losses']`` all K.
+    """
+    step = _raw_train_step(model, optimizer, lambda_o=lambda_o,
+                           objective=objective)
+
+    def multi_step(state: TrainState, batches: SceneBatch, rng):
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+
+        def body(st, xs):
+            b, i = xs
+            st2, aux = step(st, b, jax.random.fold_in(rng, i))
+            return st2, aux["loss"]
+
+        state, losses = jax.lax.scan(body, state, (batches, jnp.arange(k)))
+        return state, {"loss": losses[-1], "losses": losses}
+
+    return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+
+def stack_batches(batches) -> SceneBatch:
+    """Stack K same-shape SceneBatches along a new leading axis (the input
+    of ``make_multi_train_step``)."""
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
 
 
 def make_eval_step(model: MMGNet, branch_3d_only: bool = False):
