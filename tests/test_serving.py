@@ -1,0 +1,99 @@
+"""Batched serving loop tests (CPU backend; the TPU numbers live in
+PERFORMANCE.md via tools/serve.py)."""
+
+import threading
+
+import jax
+import numpy as np
+
+from vlsat_tpu.data.synthetic import make_batch, make_scene
+from vlsat_tpu.models import MMGNet, MMGNetConfig
+from vlsat_tpu.scene import collate, full_edge_index, pad_scene
+from vlsat_tpu.serving import BatchedServer, bench_server
+from vlsat_tpu.train.step import make_eval_step
+
+
+def _small_setup():
+    model = MMGNet(cfg=MMGNetConfig(num_obj_classes=20, num_rel_classes=7))
+    tiny = make_batch(seed=1, node_counts=(3,), num_points=8, bucket=4,
+                      num_obj_classes=20, num_rel_classes=7)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    return model, variables["params"], variables.get("batch_stats", {})
+
+
+def _scene(rng, n, num_points=8):
+    s = make_scene(rng, n, num_points=num_points, num_obj_classes=20,
+                   num_rel_classes=7)
+    return {"obj_points": s["obj_points"], "descriptor": s["descriptor"],
+            "obj_2d_feats": s["obj_2d_feats"]}
+
+
+def test_server_matches_direct_eval_and_batches():
+    model, params, batch_stats = _small_setup()
+    step = make_eval_step(model)
+    server = BatchedServer(step, params, batch_stats, max_batch=4,
+                           deadline_ms=50.0, num_rel_classes=7)
+    rng = np.random.RandomState(0)
+    scenes = [_scene(rng, n) for n in (3, 4, 3, 4)]
+    with server:
+        futs = [server.submit(s) for s in scenes]
+        results = [f.result(timeout=120) for f in futs]
+
+    # micro-batching happened: fewer dispatches than scenes
+    assert server.stats["scenes"] == 4
+    assert server.stats["batches"] < 4
+
+    # per-scene outputs equal a direct padded eval of the same scene at the
+    # same bucket (scene-axis independence is tested elsewhere)
+    for s, r in zip(scenes, results):
+        n = s["obj_points"].shape[0]
+        ei = full_edge_index(n)
+        padded = pad_scene(
+            s["obj_points"], s["descriptor"], s["obj_2d_feats"],
+            np.zeros((n,), np.int32), ei, np.zeros((len(ei), 7), np.float32),
+            n_max=4)
+        direct = step(params, batch_stats, collate([padded]))
+        np.testing.assert_allclose(
+            r["obj_logits"], np.asarray(direct["obj_logits_3d"])[0, :n],
+            rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            r["rel_cls"], np.asarray(direct["rel_cls_3d"])[0, :len(ei)],
+            rtol=2e-5, atol=1e-5)
+        assert r["edge_index"].shape == (n * (n - 1), 2)
+
+
+def test_server_deadline_flush_and_bench():
+    model, params, batch_stats = _small_setup()
+    step = make_eval_step(model)
+    server = BatchedServer(step, params, batch_stats, max_batch=32,
+                           deadline_ms=5.0, num_rel_classes=7)
+    rng = np.random.RandomState(1)
+    with server:
+        # a single request must not wait for a full batch
+        r = server.predict(_scene(rng, 3), timeout=120)
+        assert np.isfinite(r["obj_logits"]).all()
+        res = bench_server(server, [_scene(rng, 3), _scene(rng, 4)],
+                           duration_s=1.0, clients=3)
+    assert res["requests"] > 0
+    assert res["scenes_per_sec"] > 0
+    assert np.isfinite(res["p99_latency_ms"])
+
+
+def test_server_error_propagates():
+    model, params, batch_stats = _small_setup()
+
+    def broken_step(params, batch_stats, batch):
+        raise RuntimeError("boom")
+
+    server = BatchedServer(broken_step, params, batch_stats,
+                           num_rel_classes=7)
+    rng = np.random.RandomState(2)
+    with server:
+        fut = server.submit(_scene(rng, 3))
+        try:
+            fut.result(timeout=30)
+            raise AssertionError("expected RuntimeError")
+        except RuntimeError as e:
+            assert "boom" in str(e)

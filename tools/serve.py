@@ -1,0 +1,125 @@
+"""Batched serving demo/benchmark: measure the micro-batching server
+against the naive per-scene dispatch ceiling.
+
+Usage:
+    python tools/serve.py [--duration 5] [--clients 8] [--max-batch 32]
+                          [--deadline-ms 5] [--full-branch] [--naive]
+
+Starts a BatchedServer over a freshly initialized flagship model (swap in
+a checkpoint via --ckpt for real deployments), drives it closed-loop with
+synthetic 3DSSG-shaped scenes from N client threads, and prints sustained
+scenes/s + latency percentiles.  ``--naive`` also measures the per-scene
+dispatch loop for comparison (the ~230 calls/s tunnel ceiling,
+PERFORMANCE.md "Measurement methodology").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=5.0)
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--deadline-ms", type=float, default=5.0)
+    ap.add_argument("--full-branch", action="store_true",
+                    help="run the full dual-branch model instead of EVAL_3D_ONLY")
+    ap.add_argument("--naive", action="store_true",
+                    help="also measure the per-scene dispatch loop")
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="orbax checkpoint directory (optional)")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/vlsat_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+    import numpy as np
+
+    from vlsat_tpu.data.synthetic import make_batch, make_scene
+    from vlsat_tpu.models import MMGNet, MMGNetConfig
+    from vlsat_tpu.serving import BatchedServer, bench_server
+    from vlsat_tpu.train.step import make_eval_step
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if args.ckpt:
+        from vlsat_tpu.train.checkpoint import CheckpointManager
+        from vlsat_tpu.train.optim import make_optimizer
+        from vlsat_tpu.train.state import create_train_state
+
+        opt = make_optimizer(lr=1e-4, max_iteration=1)
+        template = create_train_state(model, tiny, opt, seed=0)
+        st = CheckpointManager(args.ckpt).restore(template, best=True)
+        if st is not None:
+            params, batch_stats = st.params, st.batch_stats
+
+    eval_step = make_eval_step(model, branch_3d_only=not args.full_branch)
+
+    # request pool: 9-16 node scenes at production point count
+    rng = np.random.RandomState(0)
+    scenes = []
+    for n in (9, 11, 12, 13, 14, 15, 16, 10):
+        s = make_scene(rng, n, num_points=128)
+        scenes.append({"obj_points": s["obj_points"],
+                       "descriptor": s["descriptor"],
+                       "obj_2d_feats": s["obj_2d_feats"]})
+
+    server = BatchedServer(eval_step, params, batch_stats,
+                           max_batch=args.max_batch,
+                           deadline_ms=args.deadline_ms)
+    with server:
+        # warm the compile (one batch per bucket in the pool)
+        server.predict(scenes[0])
+        server.predict(scenes[-1])
+        res = bench_server(server, scenes, duration_s=args.duration,
+                           clients=args.clients)
+    out = {"batched": res}
+
+    if args.naive:
+        # per-scene dispatch loop (what a no-batching server would do)
+        from vlsat_tpu.scene import collate, full_edge_index, pad_scene
+
+        def one(s):
+            n = s["obj_points"].shape[0]
+            padded = pad_scene(
+                s["obj_points"], s["descriptor"], s["obj_2d_feats"],
+                np.zeros((n,), np.int32), full_edge_index(n),
+                np.zeros((n * (n - 1), 26), np.float32), n_max=16)
+            b = collate([padded])
+            return np.asarray(
+                eval_step(params, batch_stats, b)["obj_logits_3d"])
+
+        one(scenes[0])  # warm
+        t0 = time.perf_counter()
+        k = 0
+        while time.perf_counter() - t0 < args.duration:
+            one(scenes[k % len(scenes)])
+            k += 1
+        out["naive_per_scene_dispatch"] = {
+            "scenes_per_sec": k / (time.perf_counter() - t0)}
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
