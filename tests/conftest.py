@@ -32,3 +32,10 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:
     pass  # older jax without these flags
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: production-shape sharded certification (minutes cold, fast "
+        "under the persistent compile cache)")

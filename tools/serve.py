@@ -88,9 +88,9 @@ def main():
                            max_batch=args.max_batch,
                            deadline_ms=args.deadline_ms)
     with server:
-        # warm the compile (one batch per bucket in the pool)
-        server.predict(scenes[0])
-        server.predict(scenes[-1])
+        # warm the compile for both buckets the pool can produce (12 and 16)
+        server.predict(scenes[0])   # 9 nodes  -> bucket 12
+        server.predict(scenes[6])   # 16 nodes -> bucket 16
         res = bench_server(server, scenes, duration_s=args.duration,
                            clients=args.clients)
     out = {"batched": res}

@@ -31,6 +31,12 @@ DEFAULT_CONFIG = {
     "VALID_INTERVAL": 10,
     "LOG_INTERVAL": 100,
     "Batch_Size": 8,
+    # K train steps per device dispatch (lax.scan over K stacked batches).
+    # >1 amortizes the per-call enqueue cost — essential on remote-TPU
+    # tunnels where dispatch (~4.3 ms) exceeds the device step; set 1 for
+    # per-step logging granularity.  Losses/step counts are identical to
+    # the sequential path (tests/test_packed_pipeline.py).
+    "TRAIN_MICROSTEPS": 1,
     "EVAL_BATCH_SIZE": 1,
     "EVAL": False,
     "VERBOSE": False,
@@ -77,6 +83,10 @@ DEFAULT_CONFIG = {
         "scans_root": None,            # 3RScan directory with per-scan PLYs
         "multi_view_root": None,       # per-instance CLIP feature .npy root
         "cache_root": None,            # preprocessed tensor cache
+        # packed per-bucket tensor cache (tools/pack_dataset.py): directory
+        # with train/ and validation/ packs; when a pack exists the runner
+        # iterates mmap slices instead of per-item prepare+pad (data/packed.py)
+        "packed_root": None,
         "label_file": "labels.instances.align.annotated.v2.ply",
         "num_points": 128,
         "num_points_union": 256,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from vlsat_tpu.ops.attention import masked_attention
+from vlsat_tpu.ops.attention import masked_attention_bnhd
 
 
 class MultiHeadAttention(nn.Module):
@@ -33,15 +33,19 @@ class MultiHeadAttention(nn.Module):
         h = self.num_heads
         dk = self.d_model // h
 
+        # head-LAST layout throughout: the (B,N,H,D)<->(B,H,N,D) transposes
+        # a head-first core needs lower to real TPU layout copies
+        # (PERFORMANCE.md round 3); the einsum core carries H in subscripts
         def split(x, name):
             y = nn.Dense(h * dk, name=name)(x)  # (B, N, H*dk)
-            return y.reshape(*y.shape[:-1], h, dk).transpose(0, 2, 1, 3)
+            return y.reshape(*y.shape[:-1], h, dk)
 
         qh = split(q, "fc_q")
         kh = split(k, "fc_k")
         vh = split(v, "fc_v")
-        out = masked_attention(qh, kh, vh, mask=mask, bias=bias, bias_way=bias_way)
-        out = out.transpose(0, 2, 1, 3).reshape(*q.shape[:-1], h * dk)
+        out = masked_attention_bnhd(qh, kh, vh, mask=mask, bias=bias,
+                                    bias_way=bias_way)
+        out = out.reshape(*q.shape[:-1], h * dk)
         out = nn.Dense(self.d_model, name="fc_o")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         return nn.LayerNorm(name="layer_norm")(q + out)

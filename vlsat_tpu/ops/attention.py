@@ -49,6 +49,38 @@ def masked_attention(
     return jnp.einsum("bhqk,bhkv->bhqv", att, v)
 
 
+def masked_attention_bnhd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    mask: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    bias_way: str = "add",
+) -> jnp.ndarray:
+    """Head-LAST attention core: q/k/v are (B, N, H, D) and stay that way.
+
+    Same math as :func:`masked_attention`, but the head axis is carried in
+    the einsum subscripts instead of being physically transposed to axis 1
+    — on TPU the (B, N, H, D) <-> (B, H, N, D) transposes around the core
+    lower to real layout-copy ops (same pathology as the round-2b
+    ``ChannelDense`` fix, PERFORMANCE.md).  mask/bias still broadcast to
+    (B, H, Nq, Nk).  Returns (B, Nq, H, Dv).
+    """
+    scale = jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / scale
+    if bias is not None:
+        att = att + bias if bias_way == "add" else att * bias
+    if mask is not None:
+        att = jnp.where(mask, att, NEG_INF)
+    att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+    if mask is not None:
+        att = jnp.where(mask, att, 0.0)
+    denom = jnp.sum(att, axis=-1, keepdims=True)
+    att = att / jnp.maximum(denom, 1e-20)
+    return jnp.einsum("bhqk,bkhv->bqhv", att, v)
+
+
 def pairwise_distance_bias(centers: jnp.ndarray) -> jnp.ndarray:
     """Pairwise [Δxyz, |Δ|] features for the distance-bias MLP.
 

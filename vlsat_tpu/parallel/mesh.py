@@ -47,6 +47,21 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_stacked_batch(batches: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Place a K-stacked SceneBatch (leading microstep axis, scenes second —
+    the input of ``make_multi_train_step``) on the mesh: scenes shard over
+    the mesh axis, the K microstep axis replicates."""
+    n_dev = mesh.shape[axis]
+    leaves = jax.tree.leaves(batches)
+    if leaves and leaves[0].shape[1] % n_dev != 0:
+        raise ValueError(
+            f"stacked batch of {leaves[0].shape[1]} scenes does not divide "
+            f"over {n_dev} devices on mesh axis {axis!r}"
+        )
+    sharding = NamedSharding(mesh, P(None, axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batches)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

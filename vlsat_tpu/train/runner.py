@@ -193,18 +193,45 @@ class Runner:
         self.state = restored
         return True
 
+    # ------------------------------------------------------------------ data
+    def _packed(self, split: str):
+        """PackedScenes for ``split`` when dataset.packed_root holds a pack
+        (tools/pack_dataset.py), else None."""
+        root = self.cfg.dataset.get("packed_root")
+        if not root:
+            return None
+        pack = os.path.join(root, split)
+        if not os.path.exists(os.path.join(pack, "manifest.json")):
+            return None
+        from vlsat_tpu.data.packed import PackedScenes
+
+        return PackedScenes(pack)
+
     # ------------------------------------------------------------------ train
     def train(self) -> None:
         cfg = self.cfg
-        loader = SceneLoader(
-            self.train_scenes, batch_size=cfg.Batch_Size, shuffle=True,
-            seed=cfg.SEED, drop_last=True, for_train=True,
-            buckets=cfg.dataset.node_buckets,
-        )
+        packed = self._packed("train")
+        if packed is not None:
+            from vlsat_tpu.data.packed import PackedLoader
+
+            loader = PackedLoader(packed, batch_size=cfg.Batch_Size,
+                                  shuffle=True, seed=cfg.SEED, drop_last=True)
+        else:
+            loader = SceneLoader(
+                self.train_scenes, batch_size=cfg.Batch_Size, shuffle=True,
+                seed=cfg.SEED, drop_last=True, for_train=True,
+                buckets=cfg.dataset.node_buckets,
+            )
         def val_loader():
-            vl = SceneLoader(
-                self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
-                shuffle=False, buckets=cfg.dataset.node_buckets)
+            vp = self._packed("validation")
+            if vp is not None:
+                from vlsat_tpu.data.packed import PackedLoader
+
+                vl = PackedLoader(vp, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)))
+            else:
+                vl = SceneLoader(
+                    self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
+                    shuffle=False, buckets=cfg.dataset.node_buckets)
             if self.mesh is not None:
                 # same data-parallel eval path as validation(): pad ragged
                 # batches with masked scenes and shard over the mesh
@@ -243,6 +270,14 @@ class Runner:
         }
         objective = lambda outputs, batch: self.loss_fn(outputs, batch, **loss_kw)
         step_fn = make_train_step(self.model, self.optimizer, objective=objective)
+        # TRAIN_MICROSTEPS > 1: scan K batches per dispatch (amortizes the
+        # remote-dispatch enqueue; loss/step trajectory identical)
+        micro_k = max(int(cfg.get("TRAIN_MICROSTEPS", 1)), 1)
+        if micro_k > 1:
+            from vlsat_tpu.train.step import make_multi_train_step
+
+            multi_fn = make_multi_train_step(
+                self.model, self.optimizer, objective=objective)
         eval_fn = make_eval_step(self.model)
         rng = jax.random.PRNGKey(cfg.SEED + 7)
 
@@ -254,16 +289,36 @@ class Runner:
             print(f"\nTraining epoch: {epoch}")
             progbar = Progbar(len(loader), width=20,
                               stateful_metrics=["Misc/epo", "Misc/it"])
-            for batch in Prefetcher(loader):
+            if micro_k > 1:
+                from vlsat_tpu.parallel import shard_stacked_batch
+                from vlsat_tpu.train.step import stack_batches
+
+                def grouped():
+                    buf = []
+                    for b in loader:
+                        buf.append(b)
+                        if len(buf) == micro_k:
+                            yield stack_batches(buf)
+                            buf = []
+                    # trailing partial groups are dropped (a smaller stack
+                    # would trigger a fresh compile; drop_last semantics)
+
+                source = ((g, micro_k) for g in Prefetcher(grouped()))
+            else:
+                source = ((b, 1) for b in Prefetcher(loader))
+            for item, k in source:
                 if self.mesh is not None:
-                    batch = shard_batch(batch, self.mesh)
+                    item = (shard_stacked_batch(item, self.mesh) if k > 1
+                            else shard_batch(item, self.mesh))
                 rng, sub = jax.random.split(rng)
-                self.state, aux = step_fn(self.state, batch, sub)
+                self.state, aux = (multi_fn if k > 1 else step_fn)(
+                    self.state, item, sub)
                 it = int(self.state.step)
-                logs = [(f"train/{k}", float(v)) for k, v in aux.items()]
+                logs = [(f"train/{name}", float(v)) for name, v in aux.items()
+                        if np.ndim(v) == 0]
                 logs += [("Misc/epo", epoch), ("Misc/it", it)]
-                progbar.add(1, values=logs)
-                if cfg.LOG_INTERVAL and it % cfg.LOG_INTERVAL == 0:
+                progbar.add(k, values=logs)
+                if cfg.LOG_INTERVAL and (it % cfg.LOG_INTERVAL) < k:
                     self.logger.log(logs, it)
                 if it >= self.max_iteration:
                     break
@@ -305,8 +360,14 @@ class Runner:
             self.model, _MMGNet)
         eval_fn = make_eval_step(self.model, branch_3d_only=b3d)
         bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
-        loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
-                             buckets=self.cfg.dataset.node_buckets)
+        packed = self._packed("validation")
+        if packed is not None:
+            from vlsat_tpu.data.packed import PackedLoader
+
+            loader = PackedLoader(packed, batch_size=bs)
+        else:
+            loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
+                                 buckets=self.cfg.dataset.node_buckets)
         if self.mesh is not None:
             # data-parallel eval: pad ragged batches with masked scenes
             # (skipped by the engine) and shard over the mesh
