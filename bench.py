@@ -168,13 +168,24 @@ def main():
         base, num_scans=512, insts_per_scan=(13, 16),  # one bucket: 16
         vertices_per_inst=600, rels_per_scan=12, seed=0)
     pack_dir = os.path.join(base, "pack")
-    if not os.path.exists(os.path.join(pack_dir, "manifest.json")):
+
+    def _build_pack():
+        # synthetic rel-mimic targets keyed by the subject class: exercises
+        # the dedup text table at realistic cardinality and cost
+        t_rng = np.random.RandomState(9)
+        t_tab = t_rng.randn(170, 512).astype(np.float32)
         ds = SSGScenes(
             root, scans_root, "validation_scans", cache_root=cache_root,
-            triplet_text_lookup=lambda gt_class, gt_rels, ei: np.zeros(
-                (len(ei), 512), np.float32))
+            triplet_text_lookup=lambda gt_class, gt_rels, ei: np.ascontiguousarray(
+                t_tab[gt_class[ei[:, 0]] % 170] if len(ei) else
+                np.zeros((0, 512), np.float32)))
         pack_scenes(ds, pack_dir, seed=0)
-    packed = PackedScenes(pack_dir)
+
+    try:
+        packed = PackedScenes(pack_dir)
+    except (ValueError, FileNotFoundError):
+        _build_pack()
+        packed = PackedScenes(pack_dir)
 
     # eval e2e: packed loader -> fused (forward+ranks) dispatch per batch
     # -> vectorized host assembly -> aggregate metrics
@@ -186,9 +197,11 @@ def main():
              PackedLoader(packed, batch_size=32), verbose=False)
     eval_e2e = len(packed) / (time.perf_counter() - t0)
 
-    # train e2e: packed loader + prefetch thread + K-step scan per dispatch
+    # train e2e: packed loader + prefetch thread + K-step scan per dispatch;
+    # rel-mimic targets ride as int32 table indices (the table ships once)
     K = 8
-    multi = make_multi_train_step(model, opt, donate=False)
+    multi = make_multi_train_step(model, opt, donate=False,
+                                  text_table=packed.text_table)
     tstate = create_train_state(model, tiny, opt, seed=1)
 
     def grouped(loader):
@@ -217,6 +230,20 @@ def main():
     float(np.asarray(aux["loss"]))  # full sync
     train_e2e = n_scenes / (time.perf_counter() - t0)
 
+    # ---- host<->device link context (e2e numbers are link-sensitive on
+    # remote-TPU tunnels; these let a reader normalize them) -------------
+    noop = jax.jit(lambda x: x + 1)
+    noop(jnp.float32(0)).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(10):
+        noop(jnp.float32(i)).block_until_ready()
+    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
+    blob = np.ones((16, 1024, 1024), np.float32)  # 64 MB
+    jax.device_put(blob).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(blob).block_until_ready()
+    h2d_mbps = 64.0 / (time.perf_counter() - t0)
+
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     if os.path.exists(base_path):
@@ -240,6 +267,10 @@ def main():
         # + prefetch + device steps; eval includes the full metric engine
         "train_e2e_scenes_per_sec": round(train_e2e, 2),
         "eval_e2e_scenes_per_sec": round(eval_e2e, 2),
+        # link context: e2e rates ride the host<->device link; on remote-
+        # TPU tunnels these two numbers explain most of any e2e shortfall
+        "tunnel_dispatch_ms": round(dispatch_ms, 2),
+        "tunnel_h2d_MBps": round(h2d_mbps, 1),
     }))
 
 

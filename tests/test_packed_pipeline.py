@@ -102,6 +102,57 @@ def test_evaluate_over_packed_loader(packed_root):
         assert key in m1 and np.isfinite(m1[key])
 
 
+def test_packed_text_table_roundtrip(tmp_path):
+    """rel-mimic targets pack as a deduplicated table + int32 indices; the
+    in-step gather must reproduce the direct per-edge vectors exactly and
+    the step loss must match the explicit rel_text_feat path."""
+    root, scans = make_mini_dataset(tmp_path, num_scans=4, insts_per_scan=4)
+    t_tab = np.random.RandomState(0).randn(40, 512).astype(np.float32)
+
+    def lookup(gt_class, gt_rels, ei):
+        if len(ei) == 0:
+            return np.zeros((0, 512), np.float32)
+        return np.ascontiguousarray(t_tab[(gt_class[ei[:, 0]] * 3) % 40])
+
+    ds = SSGScenes(root, scans, "train_scans", num_points=16,
+                   triplet_text_lookup=lookup)
+    out = str(tmp_path / "pack")
+    pack_scenes(ds, out, seed=5)
+    packed = PackedScenes(out)
+    assert packed.text_table is not None
+    # dedup: far fewer rows than scenes x edges; row 0 is zeros
+    assert packed.text_table.shape[0] <= 41
+    np.testing.assert_array_equal(packed.text_table[0], 0)
+
+    b = packed.buckets[0]
+    batch = packed.batch(b, slice(0, packed.count(b)))
+    assert batch.rel_text_feat is None and batch.rel_text_idx is not None
+    # gather == direct lookup on the valid edges
+    rng = np.random.RandomState(5)  # pack seed: same prepare() draw order
+    for s in range(batch.num_scenes):
+        direct = lookup(np.asarray(batch.gt_class[s]), None,
+                        np.asarray(batch.edge_index[s]))
+        ev = int(np.asarray(batch.edge_mask[s]).sum())
+        gathered = packed.text_table[np.asarray(batch.rel_text_idx[s])]
+        np.testing.assert_array_equal(gathered[:ev], direct[:ev])
+        np.testing.assert_array_equal(gathered[ev:], 0)
+
+    # step-loss equality: idx+table path == explicit rel_text_feat path
+    model = MMGNet(cfg=MMGNetConfig())
+    opt = make_optimizer(lr=1e-3, max_iteration=100)
+    state = create_train_state(model, batch, opt, seed=0)
+    step_tab = make_train_step(model, opt, donate=False,
+                               text_table=packed.text_table)
+    _, aux_tab = step_tab(state, batch, jax.random.PRNGKey(0))
+    full = batch.replace(
+        rel_text_feat=packed.text_table[np.asarray(batch.rel_text_idx)],
+        rel_text_idx=None)
+    step_ref = make_train_step(model, opt, donate=False)
+    _, aux_ref = step_ref(state, full, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(aux_tab["loss"]), float(aux_ref["loss"]),
+                               rtol=1e-6)
+
+
 def test_runner_with_packed_root_and_microsteps(tmp_path):
     """Runner end-to-end on the packed pipeline: dataset.packed_root +
     TRAIN_MICROSTEPS=2 (K-step scan per dispatch)."""

@@ -32,11 +32,42 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from vlsat_tpu.scene import (
-    DEFAULT_NODE_BUCKETS, SceneBatch, pad_scene, pick_bucket)
+    DEFAULT_NODE_BUCKETS, SceneBatch, edge_count, pad_scene, pick_bucket)
 
 _FIELDS = ("obj_points", "obj_mask", "descriptor", "obj_2d_feats",
            "gt_class", "edge_index", "edge_mask", "gt_rels")
-_OPT_FIELDS = ("rel_text_feat", "rel_points")
+_OPT_FIELDS = ("rel_text_idx", "rel_points")
+
+
+class _TextDedup:
+    """Exact byte-level dedup of per-edge text-target vectors: the target
+    depends only on (subject class, object class, GT-rel set), so a split
+    has a few thousand distinct rows.  Row 0 is the zero vector (padded
+    edges)."""
+
+    def __init__(self):
+        self._index: Dict[bytes, int] = {}
+        self.rows: List[np.ndarray] = []
+        self.dim: Optional[int] = None
+
+    def indices(self, feats: np.ndarray) -> np.ndarray:
+        self.dim = feats.shape[-1]
+        out = np.zeros((len(feats),), np.int32)
+        for i, row in enumerate(np.ascontiguousarray(feats, np.float32)):
+            key = row.tobytes()
+            idx = self._index.get(key)
+            if idx is None:
+                idx = len(self.rows) + 1  # 0 is reserved for the zero row
+                self._index[key] = idx
+                self.rows.append(row)
+            out[i] = idx
+        return out
+
+    def table(self) -> np.ndarray:
+        dim = self.dim or 512
+        return np.concatenate(
+            [np.zeros((1, dim), np.float32),
+             np.stack(self.rows) if self.rows else np.zeros((0, dim), np.float32)])
 
 
 def pack_scenes(
@@ -58,6 +89,7 @@ def pack_scenes(
     os.makedirs(out_dir, exist_ok=True)
     rel_start = 0 if scenes.multi_rel else 1
     manifest = {
+        "format": 2,  # 2: rel-mimic targets as text_table + rel_text_idx
         "buckets": {}, "seed": seed, "variants": variants,
         "scan_ids": [s.scan_id for s in scenes.index.scenes],
         "feat_dim": scenes.feat_dim,
@@ -67,6 +99,7 @@ def pack_scenes(
         "w_cls_rel": np.asarray(scenes.w_cls_rel, np.float64).tolist(),
     }
 
+    dedup = _TextDedup()  # shared across variants: targets are label-derived
     for v in range(variants):
         rng = np.random.RandomState(seed + 1000 * v)
         groups: Dict[int, List[Tuple[int, dict]]] = {}
@@ -78,13 +111,17 @@ def pack_scenes(
             ):
                 continue
             b = pick_bucket(s["obj_points"].shape[0], buckets)
+            text = s.get("rel_text_feat")
             padded = pad_scene(
                 s["obj_points"], s["descriptor"], s["obj_2d_feats"],
                 s["gt_class"], s["edge_index"], s["gt_rels"], n_max=b,
-                rel_text_feat=s.get("rel_text_feat"),
                 rel_points=s.get("rel_points"),
                 feat_dim=scenes.feat_dim,
             )
+            if text is not None:
+                idx = np.zeros((edge_count(b),), np.int32)
+                idx[:len(text)] = dedup.indices(text)
+                padded["rel_text_idx"] = idx
             groups.setdefault(b, []).append((i, padded))
         for b, items in sorted(groups.items()):
             idxs = [i for i, _ in items]
@@ -104,6 +141,9 @@ def pack_scenes(
                 assert manifest["buckets"][str(b)]["scene_indices"] == idxs, \
                     f"variant {v} grouped bucket {b} differently"
 
+    if dedup.rows:
+        np.save(os.path.join(out_dir, "text_table.npy"), dedup.table())
+        manifest["text_table"] = "text_table.npy"
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
@@ -116,11 +156,21 @@ class PackedScenes:
         self.root = root
         with open(os.path.join(root, "manifest.json")) as f:
             self.manifest = json.load(f)
+        if self.manifest.get("format", 1) != 2:
+            raise ValueError(
+                f"{root}: pack format {self.manifest.get('format', 1)} is "
+                "older than this loader; rebuild with tools/pack_dataset.py")
         self.buckets = sorted(int(b) for b in self.manifest["buckets"])
         self.variants = int(self.manifest.get("variants", 1))
         self.w_cls_obj = np.asarray(self.manifest["w_cls_obj"], np.float32)
         self.w_cls_rel = np.asarray(self.manifest["w_cls_rel"], np.float32)
         self._arrays: Dict[Tuple[int, int, str], np.ndarray] = {}
+        # deduplicated per-edge text-target table (rel-mimic loss); ship to
+        # the device ONCE and gather by batch.rel_text_idx inside the step
+        self.text_table: Optional[np.ndarray] = None
+        if "text_table" in self.manifest:
+            self.text_table = np.load(
+                os.path.join(root, self.manifest["text_table"]))
 
     def __len__(self) -> int:
         return sum(m["count"] for m in self.manifest["buckets"].values())
@@ -154,9 +204,10 @@ class PackedScenes:
             edge_index=get("edge_index"),
             edge_mask=get("edge_mask"),
             gt_rels=get("gt_rels"),
-            rel_text_feat=(get("rel_text_feat")
-                           if "rel_text_feat" in fields else None),
+            rel_text_feat=None,
             rel_points=(get("rel_points") if "rel_points" in fields else None),
+            rel_text_idx=(get("rel_text_idx")
+                          if "rel_text_idx" in fields else None),
         )
 
 

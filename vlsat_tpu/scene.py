@@ -94,6 +94,12 @@ class SceneBatch:
     # per-edge union point clouds (B, E, P_u, 4) — only the SGPN-style
     # configs consume these (dataset with_union_points=True)
     rel_points: Optional[jax.Array] = None
+    # compact alternative to rel_text_feat: (B, E) int32 rows into a
+    # deduplicated text-embedding table shipped to the device once (row 0
+    # is the zero vector for padded edges).  The train step materializes
+    # rel_text_feat = table[rel_text_idx] on device — per-edge wire cost
+    # drops from 512 floats to one int32 (see data/packed.py).
+    rel_text_idx: Optional[jax.Array] = None
 
     @property
     def num_scenes(self) -> int:
@@ -195,6 +201,7 @@ def pad_batch_scenes(batch: SceneBatch, total: int) -> SceneBatch:
         gt_rels=pad(batch.gt_rels),
         rel_text_feat=None if batch.rel_text_feat is None else pad(batch.rel_text_feat),
         rel_points=None if batch.rel_points is None else pad(batch.rel_points),
+        rel_text_idx=None if batch.rel_text_idx is None else pad(batch.rel_text_idx),
     )
 
 

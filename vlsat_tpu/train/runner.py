@@ -269,7 +269,16 @@ class Runner:
             ).items() if k in supported
         }
         objective = lambda outputs, batch: self.loss_fn(outputs, batch, **loss_kw)
-        step_fn = make_train_step(self.model, self.optimizer, objective=objective)
+        # packed splits carry rel-mimic targets as a deduplicated table +
+        # per-edge indices; ship the table to the device once (replicated
+        # under a mesh) and gather inside the step
+        text_table = None
+        if packed is not None and packed.text_table is not None:
+            text_table = jnp.asarray(packed.text_table)
+            if self.mesh is not None:
+                text_table = replicate(text_table, self.mesh)
+        step_fn = make_train_step(self.model, self.optimizer,
+                                  objective=objective, text_table=text_table)
         # TRAIN_MICROSTEPS > 1: scan K batches per dispatch (amortizes the
         # remote-dispatch enqueue; loss/step trajectory identical)
         micro_k = max(int(cfg.get("TRAIN_MICROSTEPS", 1)), 1)
@@ -277,7 +286,8 @@ class Runner:
             from vlsat_tpu.train.step import make_multi_train_step
 
             multi_fn = make_multi_train_step(
-                self.model, self.optimizer, objective=objective)
+                self.model, self.optimizer, objective=objective,
+                text_table=text_table)
         eval_fn = make_eval_step(self.model)
         rng = jax.random.PRNGKey(cfg.SEED + 7)
 
