@@ -158,10 +158,10 @@ def main():
     # + device steps; eval additionally runs the ENTIRE metric engine.)
     from vlsat_tpu.data.dataset import SSGScenes
     from vlsat_tpu.data.packed import PackedLoader, PackedScenes, pack_scenes
-    from vlsat_tpu.data.pipeline import Prefetcher
     from vlsat_tpu.data.synthetic import make_synthetic_split
     from vlsat_tpu.eval.engine import evaluate
-    from vlsat_tpu.train.step import make_eval_step, make_multi_train_step, stack_batches
+    from vlsat_tpu.train.step import (
+        make_eval_step, make_resident_multi_train_step)
 
     base = os.environ.get("VLSAT_BENCH_SPLIT", "/tmp/vlsat_bench_split")
     root, scans_root, cache_root = make_synthetic_split(
@@ -197,36 +197,39 @@ def main():
              PackedLoader(packed, batch_size=32), verbose=False)
     eval_e2e = len(packed) / (time.perf_counter() - t0)
 
-    # train e2e: packed loader + prefetch thread + K-step scan per dispatch;
-    # rel-mimic targets ride as int32 table indices (the table ships once)
-    K = 8
-    multi = make_multi_train_step(model, opt, donate=False,
-                                  text_table=packed.text_table)
+    # train e2e: DEVICE-RESIDENT packed split (data/resident.py) — the
+    # split's tensors ship to HBM once; each dispatch carries a (K*B,)
+    # int32 permutation and gathers its minibatches on device inside a
+    # K-step scan.  K=32 amortizes the ~28 ms tunnel dispatch to <25% of
+    # a ~105 ms scan; per-group host->device traffic is a few KB (the
+    # streaming PackedLoader+Prefetcher group path measured ~200 ms of
+    # per-leaf transfer per 256-scene group through this tunnel —
+    # PERFORMANCE.md round 3 "End-to-end")
+    K, B_TR = 32, 8
+    from vlsat_tpu.data.resident import ResidentScenes, epoch_permutations
+
+    resident = ResidentScenes(packed)
+    bkt = packed.buckets[0]
+    res_multi = make_resident_multi_train_step(
+        model, opt, resident.full_batch(bkt), batch_size=B_TR, donate=False,
+        text_table=packed.text_table)
     tstate = create_train_state(model, tiny, opt, seed=1)
 
-    def grouped(loader):
-        buf = []
-        for b in loader:
-            buf.append(b)
-            if len(buf) == K:
-                yield stack_batches(buf)
-                buf = []
-
-    warm_loader = PackedLoader(packed, batch_size=8, shuffle=True, seed=1,
-                               drop_last=True)
-    for g in grouped(warm_loader):  # warm: compile + first epoch
-        tstate, aux = multi(tstate, g, jax.random.PRNGKey(0))
-        break
+    for _, perm in epoch_permutations({bkt: packed.count(bkt)}, K * B_TR,
+                                      epoch=0, seed=1):
+        tstate, aux = res_multi(tstate, jnp.asarray(perm),
+                                jax.random.PRNGKey(0))
+        break  # warm: compile + first group
     float(np.asarray(aux["loss"]))
     n_scenes = 0
     t0 = time.perf_counter()
     for epoch in range(2):
-        for g in Prefetcher(grouped(
-                PackedLoader(packed, batch_size=8, shuffle=True,
-                             seed=2 + epoch, drop_last=True)), depth=2):
-            tstate, aux = multi(
-                tstate, g, jax.random.fold_in(jax.random.PRNGKey(1), n_scenes))
-            n_scenes += K * 8
+        for _, perm in epoch_permutations({bkt: packed.count(bkt)},
+                                          K * B_TR, epoch=epoch, seed=2):
+            tstate, aux = res_multi(
+                tstate, jnp.asarray(perm),
+                jax.random.fold_in(jax.random.PRNGKey(1), n_scenes))
+            n_scenes += K * B_TR
     float(np.asarray(aux["loss"]))  # full sync
     train_e2e = n_scenes / (time.perf_counter() - t0)
 

@@ -156,3 +156,28 @@ def test_mean_recall_and_mean_predicate():
     m1, m3, m5 = compute_mean_predicate(cls, np.asarray([1, 4, 2, 3, 9]), num_rel_classes=3)
     # class 0 ranks [1,4]: acc1 .5 acc3 .5 acc5 1; class 2 [2,3]: 0, 1, 1
     np.testing.assert_allclose([m1, m3, m5], [25.0, 75.0, 100.0])
+
+
+def test_triplet_rank_methods_agree():
+    """Factored top-k counting (default) == legacy cube sort on random
+    data (the only admissible divergence class is the sort method's own
+    division-ulp tie flips, measure-zero for random inputs).  Shapes
+    cover C > topk (staircase active), C < topk (full-grid staircase,
+    exact path), and saturated + unsaturated counts."""
+    import jax.numpy as jnp
+
+    from vlsat_tpu.eval.metrics import triplet_rank_parts
+
+    rng = np.random.RandomState(7)
+    for n, c, r, e, topk in [(9, 23, 7, 30, 11), (9, 23, 7, 30, 101),
+                             (6, 7, 5, 20, 11), (12, 160, 26, 64, 101)]:
+        ol = jnp.asarray(rng.randn(n, c).astype(np.float32) * 2)
+        gc = jnp.asarray(rng.randint(0, c, n).astype(np.int32))
+        probs = rng.rand(e, r).astype(np.float32)
+        ei = np.stack([rng.randint(0, n, e), rng.randint(0, n, e)], -1)
+        a = triplet_rank_parts(ol, gc, jnp.asarray(probs), jnp.asarray(ei),
+                               topk=topk, chunk=16, method="topk")
+        b = triplet_rank_parts(ol, gc, jnp.asarray(probs), jnp.asarray(ei),
+                               topk=topk, chunk=16, method="sort")
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

@@ -1,0 +1,79 @@
+"""Device-resident split: step-trajectory equivalence vs the streaming
+multi-step, and the epoch permutation scheduler's loader parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.mini_data import make_mini_dataset
+from vlsat_tpu.data.dataset import SSGScenes
+from vlsat_tpu.data.packed import PackedScenes, pack_scenes
+from vlsat_tpu.data.resident import (
+    ResidentScenes, epoch_permutations, split_nbytes)
+from vlsat_tpu.data.synthetic import make_batch
+from vlsat_tpu.models import MMGNet, MMGNetConfig
+from vlsat_tpu.train.optim import make_optimizer
+from vlsat_tpu.train.state import create_train_state
+from vlsat_tpu.train.step import (
+    make_multi_train_step, make_resident_multi_train_step, stack_batches)
+
+
+@pytest.fixture(scope="module")
+def pack(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("res")
+    root, scans = make_mini_dataset(tmp, num_scans=4, insts_per_scan=5)
+    ds = SSGScenes(root, scans, "train_scans")
+    out = str(tmp / "pack")
+    pack_scenes(ds, out, seed=7)
+    return PackedScenes(out)
+
+
+def test_resident_matches_streaming(pack):
+    resident = ResidentScenes(pack)
+    assert split_nbytes(pack) > 0
+    b = pack.buckets[0]
+    n = pack.count(b)
+    assert n == 4
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    opt = make_optimizer(lr=1e-3, max_iteration=100)
+    state0 = create_train_state(model, tiny, opt, seed=0)
+
+    kw = dict(donate=False, text_table=pack.text_table)
+    multi = make_multi_train_step(model, opt, **kw)
+    res = make_resident_multi_train_step(
+        model, opt, resident.full_batch(b), batch_size=2, **kw)
+
+    perm = np.asarray([2, 0, 3, 1], np.int32)
+    group = stack_batches([pack.batch(b, perm[:2]), pack.batch(b, perm[2:])])
+    key = jax.random.PRNGKey(3)
+    s1, a1 = multi(state0, group, key)
+    s2, a2 = res(state0, jnp.asarray(perm), key)
+
+    np.testing.assert_allclose(np.asarray(a1["losses"]),
+                               np.asarray(a2["losses"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    assert len(l1) == len(l2)
+    for x, y in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_epoch_permutations_cover_and_drop():
+    counts = {8: 7, 16: 5}
+    groups = list(epoch_permutations(counts, group=2, epoch=0, seed=1))
+    by_bucket = {}
+    for b, g in groups:
+        assert len(g) == 2  # drop_last: fixed group size only
+        by_bucket.setdefault(b, []).append(g)
+    seen8 = np.concatenate(by_bucket[8])
+    seen16 = np.concatenate(by_bucket[16])
+    assert len(seen8) == 6 and len(set(seen8.tolist())) == 6   # 7 -> drop 1
+    assert len(seen16) == 4 and len(set(seen16.tolist())) == 4  # 5 -> drop 1
+    assert set(seen8) <= set(range(7)) and set(seen16) <= set(range(5))
+    # different epochs shuffle differently
+    g2 = list(epoch_permutations(counts, group=2, epoch=1, seed=1))
+    assert any((a[1] != b[1]).any() for a, b in zip(groups, g2))

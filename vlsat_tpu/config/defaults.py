@@ -37,6 +37,14 @@ DEFAULT_CONFIG = {
     # per-step logging granularity.  Losses/step counts are identical to
     # the sequential path (tests/test_packed_pipeline.py).
     "TRAIN_MICROSTEPS": 1,
+    # Pin the packed train split's tensors in device HBM and dispatch only
+    # permutation indices — zero per-step host->device payload
+    # (data/resident.py).  "auto" turns it on when the pack fits
+    # RESIDENT_HBM_BUDGET bytes; single-device only (a mesh shards the
+    # streaming loaders instead).  Trajectory matches the streaming path
+    # fed the same rows (tests/test_resident.py).
+    "TRAIN_RESIDENT": "auto",
+    "RESIDENT_HBM_BUDGET": 2 << 30,
     "EVAL_BATCH_SIZE": 1,
     "EVAL": False,
     "VERBOSE": False,

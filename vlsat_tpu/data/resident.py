@@ -1,0 +1,101 @@
+"""Device-resident packed splits: the zero-transfer input pipeline.
+
+A packed split (data/packed.py) is already padded, collated, and — after
+text-target deduplication — small: a 3DSSG-scale training split is tens of
+MB of tensors, i.e. well under 1% of one TPU chip's HBM.  Instead of
+streaming K-batch groups host->device every dispatch (each group pays the
+host->device link once per leaf plus payload — through a remote tunnel
+that measured ~200 ms per 256-scene group, more than the 105 ms of compute
+it feeds), ship every (bucket, field) tensor to the device ONCE and gather
+minibatches BY INDEX inside the jitted multi-step.  A training dispatch
+then carries a (K*B,) int32 permutation — a few KB — and the device-side
+row gather of one minibatch is microseconds.
+
+This is the TPU-native answer to the reference's DataLoader worker pool
+(src/dataset/DataLoader.py:25-38): rather than hiding per-item host work
+behind more host processes, there is no per-step host work at all.
+
+Epoch shuffling semantics match PackedLoader exactly: permute scene rows
+within each bucket, emit fixed-size groups, drop trailing partials
+(drop_last), and cycle pack variants per epoch.  Use ``nbytes()`` to
+budget HBM; fall back to the streaming PackedLoader for packs that do not
+fit (the runner's TRAIN_RESIDENT="auto" does this).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+from vlsat_tpu.data.packed import PackedScenes
+from vlsat_tpu.scene import SceneBatch
+
+
+def split_nbytes(packed: PackedScenes, variant: int = 0) -> int:
+    """Total bytes of one variant's tensors (HBM budget for residency)."""
+    total = 0
+    for b in packed.buckets:
+        for f in packed.fields(b):
+            total += packed.array(b, f, variant).nbytes
+    return total
+
+
+class ResidentScenes:
+    """One pack variant resident on the default device.
+
+    ``full_batch(bucket)`` returns a SceneBatch whose leaves are device
+    arrays with a leading scene axis (count(bucket), ...) — close over it
+    in a jit and gather rows by index (train/step.py
+    ``make_resident_multi_train_step``).
+    """
+
+    def __init__(self, packed: PackedScenes, variant: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        self.packed = packed
+        self.variant = variant
+        self.text_table = packed.text_table
+        self._full: Dict[int, SceneBatch] = {}
+        for b in packed.buckets:
+            host = packed.batch(b, slice(None), variant)
+            self._full[b] = jax.tree_util.tree_map(jnp.asarray, host)
+
+    @property
+    def buckets(self):
+        return self.packed.buckets
+
+    def count(self, bucket: int) -> int:
+        return self.packed.count(bucket)
+
+    def full_batch(self, bucket: int) -> SceneBatch:
+        return self._full[bucket]
+
+    def host_batch(self, bucket: int, idx) -> SceneBatch:
+        """Host-side (mmap) view of the same rows — for eval assembly."""
+        return self.packed.batch(bucket, idx, self.variant)
+
+
+def epoch_permutations(
+    counts: Dict[int, int],
+    group: int,
+    epoch: int,
+    seed: int = 2020,
+    shuffle: bool = True,
+) -> Iterator[Tuple[int, np.ndarray]]:
+    """Yield (bucket, perm) index groups for one epoch.
+
+    ``group`` = scenes per dispatch (K*B for the resident multi-step).
+    Permutes within each bucket with the same RandomState stream the
+    streaming PackedLoader uses (seed + epoch), emits fixed-size groups,
+    drops trailing partials (drop_last semantics: a smaller group would
+    trigger a fresh compile).
+    """
+    rng = np.random.RandomState(seed + epoch)
+    for b in sorted(counts):
+        c = counts[b]
+        order = (rng.permutation(c) if shuffle
+                 else np.arange(c)).astype(np.int32)
+        for start in range(0, c - group + 1, group):
+            yield b, order[start:start + group]

@@ -63,8 +63,11 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
         rc_trip = jnp.exp(rc) if single_label else rc
         parts[f"obr_{tag}"] = object_ranks(ol, batch.gt_class, topk=11)
         parts[f"pr_{tag}"], parts[f"png_{tag}"] = predicate_rank_parts(rc, topk=6)
-        # chunk: static at trace time; E per scene is small (<= bucket^2)
-        chunk = min(256, batch.num_edges)
+        # chunk: static at trace time.  The factored-top-k method's big
+        # temp is the (B, chunk, R+1, topk, R) compare tensor inside the
+        # vmapped lax.map — bound B*chunk to keep it a few hundred MB even
+        # if XLA materializes it (it usually fuses into the count reduce)
+        chunk = max(8, min(batch.num_edges, 4096 // max(batch.num_scenes, 1)))
         parts[f"tr_{tag}"], parts[f"tng_{tag}"] = jax.vmap(
             partial(triplet_rank_parts, topk=101, chunk=chunk)
         )(ol, batch.gt_class, rc_trip, batch.edge_index)
@@ -78,6 +81,11 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
     return parts
 
 
+# fixed device<->host packing order for the int rank tensors (per tag)
+_INT_PARTS = ("obr", "pr", "png", "tr", "tng")
+_FLOAT_PARTS = ("probs_3d", "rel_cls_3d", "obj_logits_3d")
+
+
 # fused (model forward + rank kernels) jits, cached per eval_step so repeat
 # validation passes reuse the compiled program; values hold a strong ref to
 # the eval_step, keeping the id() key unique for the cache's lifetime
@@ -85,6 +93,17 @@ _FUSED_CACHE: Dict[tuple, tuple] = {}
 
 
 def _get_fused(eval_step, single_label: bool, with_probs: bool, with_raw: bool):
+    """Fused (forward + ranks) jit returning TWO flat arrays.
+
+    On a remote-TPU tunnel each device->host fetch pays a full round trip
+    (~28 ms here), so the ten per-batch rank tensors cost ~370 ms/batch if
+    fetched one by one — 14x the device compute.  All int rank tensors
+    concatenate into ONE uint8 vector (ranks are bounded by topk+1 = 102
+    and the predicate no-GT quirk by R+2, both < 256, so the cast is
+    lossless — guarded in evaluate()) and the optional float tensors into
+    one f32 vector: two transfers per batch, overlapped via
+    copy_to_host_async with the next batch's dispatch (see evaluate()).
+    """
     key = (id(eval_step), single_label, with_probs, with_raw)
     hit = _FUSED_CACHE.get(key)
     if hit is not None:
@@ -93,11 +112,54 @@ def _get_fused(eval_step, single_label: bool, with_probs: bool, with_raw: bool):
     @jax.jit
     def fused(params, batch_stats, batch):
         out = eval_step(params, batch_stats, batch)
-        return _metric_parts(out, batch, single_label=single_label,
-                             with_probs=with_probs, with_raw=with_raw)
+        parts = _metric_parts(out, batch, single_label=single_label,
+                              with_probs=with_probs, with_raw=with_raw)
+        tags = ("3d", "2d") if "obr_2d" in parts else ("3d",)
+        ints = jnp.concatenate([
+            parts[f"{n}_{t}"].astype(jnp.uint8).reshape(-1)
+            for t in tags for n in _INT_PARTS])
+        flts = [parts[k].reshape(-1) for k in _FLOAT_PARTS if k in parts]
+        floats = (jnp.concatenate(flts) if flts
+                  else jnp.zeros((0,), jnp.float32))
+        return ints, floats
 
     _FUSED_CACHE[key] = (fused, eval_step)
     return fused
+
+
+def _unpack_parts(ints: np.ndarray, floats: np.ndarray, batch: SceneBatch,
+                  with_probs: bool, with_raw: bool) -> Dict[str, np.ndarray]:
+    """Invert the fused packing: flat (uint8, f32) -> named np arrays."""
+    b, n = batch.gt_class.shape
+    e, r = batch.num_edges, batch.gt_rels.shape[-1]
+    shapes = {"obr": (b, n), "pr": (b, e, r), "png": (b, e),
+              "tr": (b, e, r), "tng": (b, e)}
+    per_tag = sum(int(np.prod(s)) for s in shapes.values())
+    tags = ("3d", "2d") if ints.size == 2 * per_tag else ("3d",)
+    parts: Dict[str, np.ndarray] = {}
+    off = 0
+    for t in tags:
+        for name in _INT_PARTS:
+            sz = int(np.prod(shapes[name]))
+            parts[f"{name}_{t}"] = (
+                ints[off:off + sz].astype(np.int32).reshape(shapes[name]))
+            off += sz
+    c = floats.size  # infer C lazily only when float parts are present
+    fshapes = []
+    if with_probs:
+        fshapes.append(("probs_3d", None))
+    if with_raw:
+        fshapes.extend([("rel_cls_3d", (b, e, r)), ("obj_logits_3d", None)])
+    known = sum(int(np.prod(s)) for _, s in fshapes if s is not None)
+    n_c = sum(1 for _, s in fshapes if s is None)
+    c_dim = (c - known) // (b * n * n_c) if n_c else 0
+    off = 0
+    for name, s in fshapes:
+        s = s if s is not None else (b, n, c_dim)
+        sz = int(np.prod(s))
+        parts[name] = floats[off:off + sz].reshape(s)
+        off += sz
+    return parts
 
 
 def evaluate(
@@ -126,6 +188,10 @@ def evaluate(
     topk_each=1) and unconstrained (ngc, topk_each=100) form, averaged
     over scenes with at least one GT relation (the reference's per-scene
     ratios are 0/0 on relation-free scenes)."""
+    if num_rel_classes + 2 > 255:
+        raise ValueError(
+            "uint8 rank packing requires num_rel_classes <= 253 "
+            f"(got {num_rel_classes}); see _get_fused")
     acc = {
         k: [] for k in (
             "topk_obj", "topk_obj_2d", "topk_rel", "topk_rel_2d",
@@ -150,11 +216,11 @@ def evaluate(
                        with_probs=with_scores,
                        with_raw=scene_recall or with_scores)
 
-    has_2d = True
-    for batch in loader:
-        p = {k: np.asarray(v) for k, v in
-             fused(params, batch_stats, batch).items()}
-        has_2d = "obr_2d" in p
+    state = {"has_2d": True}
+
+    def _assemble(p: Dict[str, np.ndarray], batch: SceneBatch) -> None:
+        nonlocal seen
+        has_2d = state["has_2d"] = "obr_2d" in p
         obj_mask = np.asarray(batch.obj_mask)
         edge_mask = np.asarray(batch.edge_mask)
         gt_rels = np.asarray(batch.gt_rels)
@@ -244,6 +310,27 @@ def evaluate(
                 ("Acc@1/rel", _pct("rel")),
                 ("Acc@50/trip", _pct("trip")),
             ])
+
+    # double-buffered loop: dispatch batch k+1, then fetch + assemble batch
+    # k while the device runs — host assembly and the D2H transfers hide
+    # under the next batch's dispatch + compute (PERFORMANCE.md round 3)
+    pending = None
+    for batch in loader:
+        dev = fused(params, batch_stats, batch)
+        dev[0].copy_to_host_async()
+        dev[1].copy_to_host_async()
+        if pending is not None:
+            (pi, pf), pb = pending
+            _assemble(_unpack_parts(np.asarray(pi), np.asarray(pf), pb,
+                                    with_scores, scene_recall or with_scores),
+                      pb)
+        pending = (dev, batch)
+    if pending is not None:
+        (pi, pf), pb = pending
+        _assemble(_unpack_parts(np.asarray(pi), np.asarray(pf), pb,
+                                with_scores, scene_recall or with_scores),
+                  pb)
+    has_2d = state["has_2d"]
 
     arr = {k: np.asarray(v) for k, v in acc.items()}
     cls_matrix = np.concatenate(cls_rows) if cls_rows else np.zeros((0, 5), np.int64)

@@ -13,12 +13,20 @@ to *counting*, which vectorizes:
     class clears the threshold — a reference quirk we reproduce);
   * triplet rank (":137-213"): the first position of gt_conf in the sorted
     top-`topk` cube is ``#{(i,j,k) : s_i*o_j*r_k > gt_conf} + 1`` when that
-    count < topk, else topk+1.  The cube never needs materializing: with
-    ``ns = sort(outer(s, o))`` the count is ``sum_k (M - searchsorted(ns,
-    t / r_k, 'right'))`` — O(M log M) per edge instead of O(M*R log(M*R)).
-    The float division can flip exact ties by one ulp; the systematic case
-    (the GT cell comparing against itself) is corrected explicitly, other
-    cross-cell f32 product ties are vanishingly rare.
+    count < topk, else topk+1.  Because the rank SATURATES at topk+1, only
+    the top-`topk` cube values can ever influence it — and the top-topk of
+    the rank-1 cube factorizes (``method="topk"``, round 3): per-node
+    top-topk scores, the "staircase" of pair positions
+    ``(a+1)*(b+1) <= topk`` (~520 candidates out of C^2 — any pair deeper
+    has >= topk pairs above it, so it can only occur in saturated counts),
+    a pair top-topk, then a compare-all of the topk*R candidate products
+    against the per-class GT confidences.  No per-edge cube sort (the
+    legacy sort survives as ``method="sort"`` and measured 1.47 s/batch on
+    TPU — the entire end-to-end eval wall, PERFORMANCE.md round 3), no
+    giant temporaries, and — unlike the sort method's division-based
+    probes — candidates and thresholds are compared as identically-
+    computed f32 products, so reference tie semantics are EXACT with no
+    ulp corrections at all.
 
 Multi-GT rank discounting (``tmp - counter`` after sorting, ":206-211") and
 cls_matrix assembly happen on the host over tiny arrays.
@@ -62,7 +70,7 @@ def predicate_rank_parts(
     return class_ranks, no_gt_rank
 
 
-@partial(jax.jit, static_argnames=("topk", "threshold", "chunk"))
+@partial(jax.jit, static_argnames=("topk", "threshold", "chunk", "method"))
 def triplet_rank_parts(
     obj_logits: jnp.ndarray,     # (N, C) — one scene
     gt_class: jnp.ndarray,       # (N,)
@@ -70,53 +78,112 @@ def triplet_rank_parts(
     edge_index: jnp.ndarray,     # (E, 2)
     topk: int = 101,
     threshold: float = 0.5,
-    chunk: int = 512,
+    chunk: int = 128,
+    method: str = "topk",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Triplet ranks for every candidate predicate of every edge.
 
     Returns (class_ranks (E, R), no_gt_ranks (E,)); the caller selects the
     GT predicates.  Object scores are softmax(logits) — the reference's
     use_clip=True path (eva_utils_acc.py:143-144).  Edges are processed in
-    fixed-size chunks via lax.map: the per-edge (C*C) node-score rows would
-    otherwise cost E*C^2 floats (~400 MB at the largest bucket).
+    fixed-size chunks via lax.map to bound the temporaries.
+
+    ``method="topk"`` (default, round 3): factored top-k counting.  Ranks
+    saturate at topk+1, so a count is only needed exactly when it is
+    < topk — in which case every contributing cube cell (i,j,k) must have
+    its pair (i,j) among the top-topk pairwise products (any deeper pair
+    has >= topk pairs above it, each of which, times the same r_k, also
+    beats the threshold by rounding monotonicity — forcing saturation).
+    The top-topk pairs of the rank-1 pair matrix come from per-node
+    top-topk scores restricted to the static "staircase"
+    ``(a+1)*(b+1) <= topk`` of sorted positions (~520 of C^2=25,600), then
+    one small top_k.  Candidate products (topk x R per edge) compare
+    against the per-class GT confidences computed as the IDENTICAL f32
+    expression ``(s_gt*o_gt)*r_k`` — so exact ties (the GT cell against
+    itself included) behave exactly as the reference's materialized cube,
+    with no division-ulp corrections (the legacy ``method="sort"``
+    searchsorted-on-ratios path needed one; it survives for testing and
+    measured 1.47 s per 32-scene batch on TPU — the entire end-to-end
+    eval wall, PERFORMANCE.md round 3).
     """
     probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
     r_all = rel_probs.astype(jnp.float32)
     e_cnt, nrel = r_all.shape
+    c = probs.shape[-1]
     n_chunks = -(-e_cnt // chunk)
     pad = n_chunks * chunk - e_cnt
     ei_p = jnp.pad(edge_index, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 2)
     r_p = jnp.pad(r_all, ((0, pad), (0, 0))).reshape(n_chunks, chunk, nrel)
 
+    if method == "topk":
+        k_node = min(c, topk)
+        # staircase of sorted-pair positions that can hold a top-topk pair.
+        # Positions index ASCENDING-sorted node vectors (single-operand
+        # lax.sort is ~2x the tuple sort top_k lowers to): descending rank
+        # a maps to ascending index k_node-1-a.
+        aa, bb = np.meshgrid(np.arange(k_node), np.arange(k_node), indexing="ij")
+        keep = (aa + 1) * (bb + 1) <= topk
+        a_idx = jnp.asarray(k_node - 1 - aa[keep])
+        b_idx = jnp.asarray(k_node - 1 - bb[keep])
+        k_pair = min(topk, int(keep.sum()))
+        # stable=False: a stable sort carries an iota operand through the
+        # TPU sort, doubling its cost; only the values are used
+        node_top = jnp.sort(probs, axis=-1, stable=False)[..., -k_node:]
+        # per-node GT-class probability: the cube's GT cell factor
+        p_gt = jnp.take_along_axis(probs, gt_class[:, None], axis=-1)[:, 0]
+        n_nodes = probs.shape[0]
+        _mm = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
     def body(inputs):
         ei, r = inputs                                   # (chunk, 2), (chunk, R)
-        sub = probs[ei[:, 0]]                            # (chunk, C)
-        obj = probs[ei[:, 1]]
-        ns = (sub[:, :, None] * obj[:, None, :]).reshape(chunk, -1)
-        ns_sorted = jnp.sort(ns, axis=-1)
-        m = ns.shape[-1]
 
-        # GT-cell node score: same float product as the matching ns entry
-        sub_cls = gt_class[ei[:, 0]]
-        obj_cls = gt_class[ei[:, 1]]
-        s_gt = jnp.take_along_axis(sub, sub_cls[:, None], axis=-1)[:, 0]
-        o_gt = jnp.take_along_axis(obj, obj_cls[:, None], axis=-1)[:, 0]
-        ns_gt = s_gt * o_gt
-        t_class = ns_gt[:, None] * r                     # (chunk, R) gt confs
-        thresholds = jnp.concatenate(
-            [t_class, jnp.full((chunk, 1), threshold, jnp.float32)], axis=-1
-        )
-        r_safe = jnp.maximum(r, 1e-38)
-        ratio = thresholds[:, :, None] / r_safe[:, None, :]  # (chunk, R+1, R)
-        pos = jax.vmap(
-            lambda row, x: jnp.searchsorted(row, x.reshape(-1), side="right")
-        )(ns_sorted, ratio).reshape(ratio.shape)
-        counts = (m - pos).sum(axis=-1)                  # (chunk, R+1)
-
-        # ulp correction: the GT cell must not count as greater than its
-        # own confidence (division may round t/r_k below ns_gt).
-        div_gt = ns_gt[:, None] > t_class / r_safe
-        class_counts = counts[:, :-1] - div_gt.astype(counts.dtype)
+        if method == "sort":
+            sub = probs[ei[:, 0]]                        # (chunk, C)
+            obj = probs[ei[:, 1]]
+            # GT-cell node score: same float product as the cube entry
+            sub_cls = gt_class[ei[:, 0]]
+            obj_cls = gt_class[ei[:, 1]]
+            s_gt = jnp.take_along_axis(sub, sub_cls[:, None], axis=-1)[:, 0]
+            o_gt = jnp.take_along_axis(obj, obj_cls[:, None], axis=-1)[:, 0]
+            ns_gt = s_gt * o_gt
+            t_class = ns_gt[:, None] * r                 # (chunk, R) gt confs
+            thresholds = jnp.concatenate(
+                [t_class, jnp.full((chunk, 1), threshold, jnp.float32)], axis=-1
+            )
+            r_safe = jnp.maximum(r, 1e-38)
+            ratio = thresholds[:, :, None] / r_safe[:, None, :]  # (chunk, R+1, R)
+            ns = (sub[:, :, None] * obj[:, None, :]).reshape(chunk, -1)
+            ns_sorted = jnp.sort(ns, axis=-1)
+            pos = jax.vmap(
+                lambda row, x: jnp.searchsorted(row, x.reshape(-1), side="right")
+            )(ns_sorted, ratio).reshape(ratio.shape)
+            counts = (c * c - pos).sum(axis=-1)          # (chunk, R+1)
+            # ulp correction: the GT cell must not count as greater than
+            # its own confidence (t/r_k may round below ns_gt)
+            div_gt = ns_gt[:, None] > t_class / r_safe
+            class_counts = counts[:, :-1] - div_gt.astype(counts.dtype)
+        else:
+            # one-hot MXU gathers (bit-exact, ~20x the TPU row gather at
+            # these shapes — PERFORMANCE.md round 2)
+            iota = jnp.arange(n_nodes, dtype=ei.dtype)[None, :]
+            oh_s = (ei[:, 0:1] == iota).astype(jnp.float32)   # (chunk, N)
+            oh_o = (ei[:, 1:2] == iota).astype(jnp.float32)
+            st = _mm("en,nk->ek", oh_s, node_top)        # (chunk, k_node)
+            ot = _mm("en,nk->ek", oh_o, node_top)
+            s_gt = _mm("en,n->e", oh_s, p_gt)
+            o_gt = _mm("en,n->e", oh_o, p_gt)
+            t_class = (s_gt * o_gt)[:, None] * r         # (chunk, R) gt confs
+            thresholds = jnp.concatenate(
+                [t_class, jnp.full((chunk, 1), threshold, jnp.float32)], axis=-1
+            )
+            stair = st[:, a_idx] * ot[:, b_idx]          # (chunk, ~5*topk)
+            tpair = jnp.sort(stair, axis=-1, stable=False)[:, -k_pair:]
+            cand = tpair[:, :, None] * r[:, None, :]     # (chunk, k_pair, R)
+            counts = (cand[:, None, :, :] > thresholds[:, :, None, None]).sum(
+                axis=(-1, -2), dtype=jnp.int32)          # (chunk, R+1)
+            # exact f32 products both sides: the GT cell ties with its own
+            # threshold and is never counted — no correction needed
+            class_counts = counts[:, :-1]
         c05 = counts[:, -1]
         class_ranks = jnp.where(class_counts < topk, class_counts + 1, topk + 1)
         no_gt_ranks = jnp.where(c05 < topk, c05 + 1, topk + 1)

@@ -288,6 +288,29 @@ class Runner:
             multi_fn = make_multi_train_step(
                 self.model, self.optimizer, objective=objective,
                 text_table=text_table)
+        # TRAIN_RESIDENT ("auto"/true/false): pin the packed split's
+        # tensors in device HBM and dispatch only (K*B,) permutation
+        # indices — zero per-step host->device payload (data/resident.py).
+        # "auto" enables it when the pack fits RESIDENT_HBM_BUDGET bytes.
+        # Single-device path: under a mesh the streaming loaders shard the
+        # batch axis instead.
+        resident_cache = resident_fn = None
+        if packed is not None and self.mesh is None:
+            mode = str(cfg.get("TRAIN_RESIDENT", "auto")).lower()
+            on = mode in ("1", "true", "yes")
+            if mode == "auto":
+                from vlsat_tpu.data.resident import split_nbytes
+
+                on = split_nbytes(packed) <= int(
+                    cfg.get("RESIDENT_HBM_BUDGET", 2 << 30))
+            if on:
+                from vlsat_tpu.train.step import (
+                    make_resident_multi_train_step)
+
+                resident_cache = {}
+                resident_fn = make_resident_multi_train_step(
+                    self.model, self.optimizer, batch_size=cfg.Batch_Size,
+                    objective=objective, text_table=text_table)
         eval_fn = make_eval_step(self.model)
         rng = jax.random.PRNGKey(cfg.SEED + 7)
 
@@ -299,7 +322,20 @@ class Runner:
             print(f"\nTraining epoch: {epoch}")
             progbar = Progbar(len(loader), width=20,
                               stateful_metrics=["Misc/epo", "Misc/it"])
-            if micro_k > 1:
+            if resident_fn is not None:
+                from vlsat_tpu.data.resident import (
+                    ResidentScenes, epoch_permutations)
+
+                variant = (epoch - 1) % packed.variants
+                if variant not in resident_cache:
+                    resident_cache.clear()  # hold ONE variant in HBM
+                    resident_cache[variant] = ResidentScenes(packed, variant)
+                rs = resident_cache[variant]
+                counts = {b: packed.count(b) for b in packed.buckets}
+                source = (((b, p), micro_k) for b, p in epoch_permutations(
+                    counts, micro_k * cfg.Batch_Size, epoch - 1,
+                    seed=cfg.SEED))
+            elif micro_k > 1:
                 from vlsat_tpu.parallel import shard_stacked_batch
                 from vlsat_tpu.train.step import stack_batches
 
@@ -317,12 +353,17 @@ class Runner:
             else:
                 source = ((b, 1) for b in Prefetcher(loader))
             for item, k in source:
-                if self.mesh is not None:
-                    item = (shard_stacked_batch(item, self.mesh) if k > 1
-                            else shard_batch(item, self.mesh))
                 rng, sub = jax.random.split(rng)
-                self.state, aux = (multi_fn if k > 1 else step_fn)(
-                    self.state, item, sub)
+                if resident_fn is not None:
+                    bkt, perm = item
+                    self.state, aux = resident_fn(
+                        self.state, rs.full_batch(bkt), jnp.asarray(perm), sub)
+                else:
+                    if self.mesh is not None:
+                        item = (shard_stacked_batch(item, self.mesh) if k > 1
+                                else shard_batch(item, self.mesh))
+                    self.state, aux = (multi_fn if k > 1 else step_fn)(
+                        self.state, item, sub)
                 it = int(self.state.step)
                 logs = [(f"train/{name}", float(v)) for name, v in aux.items()
                         if np.ndim(v) == 0]

@@ -141,6 +141,57 @@ def make_multi_train_step(model: MMGNet, optimizer: optax.GradientTransformation
     return lambda state, batches, rng: jitted(state, batches, rng, table)
 
 
+def make_resident_multi_train_step(
+        model: MMGNet, optimizer: optax.GradientTransformation,
+        split_batch: SceneBatch = None, batch_size: int = 8,
+        lambda_o: float = 0.1, donate: bool = True,
+        objective=None, text_table=None):
+    """K train steps in one dispatch over a DEVICE-RESIDENT split.
+
+    ``split_batch``: a full packed bucket on device — every leaf has a
+    leading scene axis (data/resident.py ``ResidentScenes.full_batch``).
+    The returned ``fn(state, perm, rng)`` takes a (K*B,) int32 permutation
+    of scene rows, reshapes it to (K, B), and each scanned step gathers
+    its minibatch from the resident tensors ON DEVICE (a ~1 MB row gather,
+    microseconds) before the usual fwd+loss+bwd+opt.  A dispatch therefore
+    ships a few KB of indices instead of a multi-MB group — through a
+    remote-TPU tunnel this is the difference between ~200 ms and ~0 ms of
+    per-group transfer (PERFORMANCE.md round 3 "End-to-end").
+
+    Pass ``split_batch=None`` to get the unbound form
+    ``fn(state, split_batch, perm, rng)`` — the split rides as a jit
+    argument (no re-transfer: it is already device-committed), so one
+    compiled program serves every same-shape bucket/pack-variant.
+
+    Step semantics are identical to ``make_multi_train_step`` fed the same
+    rows: same per-step fold_in dropout keys, same loss trajectory
+    (tests/test_resident.py certifies equality).
+    """
+    step = _raw_train_step(model, optimizer, lambda_o=lambda_o,
+                           objective=objective)
+    table = jnp.asarray(text_table) if text_table is not None else None
+
+    def multi(state: TrainState, split: SceneBatch, perm, rng):
+        k = perm.shape[0] // batch_size
+        idx = perm.reshape(k, batch_size)
+
+        def body(st, xs):
+            rows, i = xs
+            b = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, rows, axis=0), split)
+            st2, aux = step(st, _materialize_text(b, table),
+                            jax.random.fold_in(rng, i))
+            return st2, aux["loss"]
+
+        state, losses = jax.lax.scan(body, state, (idx, jnp.arange(k)))
+        return state, {"loss": losses[-1], "losses": losses}
+
+    jitted = jax.jit(multi, donate_argnums=(0,) if donate else ())
+    if split_batch is None:
+        return jitted
+    return lambda state, perm, rng: jitted(state, split_batch, perm, rng)
+
+
 def stack_batches(batches) -> SceneBatch:
     """Stack K same-shape SceneBatches along a new leading axis (the input
     of ``make_multi_train_step``)."""
