@@ -2,7 +2,8 @@
 
 import numpy as np
 
-from vlsat_tpu.eval.recall import scene_recall_topk
+from vlsat_tpu.eval.recall import (batched_scene_hits, scene_recall_topk,
+                                   tally_hits)
 from vlsat_tpu.scene import full_edge_index
 
 
@@ -141,3 +142,47 @@ def test_scene_recall_valid_edges_ignores_padding():
                                  topk_each=10, num_rel_classes=nrel,
                                  evaluate=mode)
         np.testing.assert_allclose(got, want, err_msg=mode)
+
+
+def test_batched_scene_hits_matches_host_path():
+    """The fused engine's device pass (batched_scene_hits + tally_hits)
+    must reproduce scene_recall_topk — which the oracles above certify —
+    for every (mode, gc/ngc) protocol combo, with ragged padded scenes."""
+    rng = np.random.RandomState(11)
+    b, n_max, c, nrel = 3, 6, 10, 5
+    e_max = n_max * (n_max - 1)
+    node_counts = [6, 4, 5]
+
+    logits = rng.randn(b, n_max, c).astype(np.float32) * 2
+    gt_class = rng.randint(0, c, (b, n_max)).astype(np.int32)
+    rel_probs = rng.rand(b, e_max, nrel).astype(np.float32)
+    edge_index = np.zeros((b, e_max, 2), np.int32)
+    edge_mask = np.zeros((b, e_max), bool)
+    gt_rels = np.zeros((b, e_max, nrel), np.float32)
+    for s, nn in enumerate(node_counts):
+        ei = full_edge_index(nn)
+        edge_index[s, :len(ei)] = ei
+        edge_mask[s, :len(ei)] = True
+        gt_rels[s, :len(ei)] = (rng.rand(len(ei), nrel) < 0.3)
+        rel_probs[s, len(ei):] = 0.99  # poison padding — must be inert
+
+    for mode, te in (("triplet", 1), ("triplet", 100),
+                     ("rels", 1), ("rels", 100)):
+        eg, hit = batched_scene_hits(
+            logits, rel_probs, edge_index, edge_mask, gt_class, gt_rels,
+            topk_each=te, kmax=100, mode=mode)
+        eg, hit = np.asarray(eg), np.asarray(hit)
+        assert eg.shape == (b, 100) and hit.shape == (b, 100)
+        for s, nn in enumerate(node_counts):
+            ev = len(full_edge_index(nn))
+            got_s, got_c = tally_hits(eg[s], hit[s], gt_rels[s, :ev],
+                                      topk=(5, 20, 100), num_rel_classes=nrel)
+            want_s, want_c = scene_recall_topk(
+                logits[s], rel_probs[s], gt_rels[s], gt_class[s],
+                edge_index[s], topk=(5, 20, 100), topk_each=te,
+                num_rel_classes=nrel, evaluate=mode, valid_edges=ev,
+                return_both=True)
+            np.testing.assert_allclose(got_s, want_s,
+                                       err_msg=f"{mode}/{te} scene {s}")
+            np.testing.assert_allclose(got_c, want_c,
+                                       err_msg=f"{mode}/{te} scene {s}")

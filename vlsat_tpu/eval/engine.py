@@ -46,8 +46,13 @@ from vlsat_tpu.scene import SceneBatch
 from vlsat_tpu.utils.progbar import Progbar
 
 
+SR_COMBOS = (("predcls", "rels"), ("sgcls", "triplet"))
+SR_VARIANTS = (("gc", 1), ("ngc", 100))
+
+
 def _metric_parts(out, batch: SceneBatch, single_label: bool,
-                  with_probs: bool, with_raw: bool) -> Dict[str, jnp.ndarray]:
+                  with_probs: bool, with_raw: bool,
+                  scene_recall: bool = False) -> Dict[str, jnp.ndarray]:
     """Rank tensors for a whole batch (traced into the fused eval jit).
 
     ``single_label`` quirk parity: predicate ranks consume the RAW
@@ -78,6 +83,24 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
         parts["rel_cls_3d"] = jnp.exp(out["rel_cls_3d"]) if single_label \
             else out["rel_cls_3d"]
         parts["obj_logits_3d"] = out["obj_logits_3d"]
+    if scene_recall:
+        # in21k process_val2/3 candidates: ranked scene-global top-100
+        # with device-computed hit flags — the per-scene host path paid 4
+        # tunnel dispatches per SCENE for the same answer (round 3)
+        from vlsat_tpu.eval.recall import batched_scene_hits
+
+        rc3 = out["rel_cls_3d"]
+        rc3 = jnp.exp(rc3) if single_label else rc3
+        gt_rels_d = (batch.gt_rels.at[..., 0].set(0.0) if single_label
+                     else batch.gt_rels)  # 'none' targets -> no-GT edges
+        for name, mode in SR_COMBOS:
+            for tag2, te in SR_VARIANTS:
+                eg, hit = batched_scene_hits(
+                    out["obj_logits_3d"], rc3, batch.edge_index,
+                    batch.edge_mask, batch.gt_class, gt_rels_d,
+                    topk_each=te, kmax=100, mode=mode)
+                parts[f"sre_{name}_{tag2}"] = eg
+                parts[f"srh_{name}_{tag2}"] = hit
     return parts
 
 
@@ -92,50 +115,65 @@ _FLOAT_PARTS = ("probs_3d", "rel_cls_3d", "obj_logits_3d")
 _FUSED_CACHE: Dict[tuple, tuple] = {}
 
 
-def _get_fused(eval_step, single_label: bool, with_probs: bool, with_raw: bool):
-    """Fused (forward + ranks) jit returning TWO flat arrays.
+def _get_fused(eval_step, single_label: bool, with_probs: bool,
+               with_raw: bool, scene_recall: bool = False):
+    """Fused (forward + ranks) jit returning THREE flat arrays.
 
     On a remote-TPU tunnel each device->host fetch pays a full round trip
     (~28 ms here), so the ten per-batch rank tensors cost ~370 ms/batch if
     fetched one by one — 14x the device compute.  All int rank tensors
-    concatenate into ONE uint8 vector (ranks are bounded by topk+1 = 102
-    and the predicate no-GT quirk by R+2, both < 256, so the cast is
-    lossless — guarded in evaluate()) and the optional float tensors into
-    one f32 vector: two transfers per batch, overlapped via
-    copy_to_host_async with the next batch's dispatch (see evaluate()).
+    (plus the scene-recall hit flags) concatenate into ONE uint8 vector
+    (ranks are bounded by topk+1 = 102 and the predicate no-GT quirk by
+    R+2, both < 256, so the cast is lossless — guarded in evaluate()),
+    scene-recall candidate edge ids into one int32 vector, and the
+    optional float tensors into one f32 vector: at most three transfers
+    per batch, overlapped via copy_to_host_async with the next batch's
+    dispatch (see evaluate()).
     """
-    key = (id(eval_step), single_label, with_probs, with_raw)
+    key = (id(eval_step), single_label, with_probs, with_raw, scene_recall)
     hit = _FUSED_CACHE.get(key)
     if hit is not None:
         return hit[0]
+
+    sr_keys = [f"{n}_{t2}" for n, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
 
     @jax.jit
     def fused(params, batch_stats, batch):
         out = eval_step(params, batch_stats, batch)
         parts = _metric_parts(out, batch, single_label=single_label,
-                              with_probs=with_probs, with_raw=with_raw)
+                              with_probs=with_probs, with_raw=with_raw,
+                              scene_recall=scene_recall)
         tags = ("3d", "2d") if "obr_2d" in parts else ("3d",)
-        ints = jnp.concatenate([
-            parts[f"{n}_{t}"].astype(jnp.uint8).reshape(-1)
-            for t in tags for n in _INT_PARTS])
+        u8 = [parts[f"{n}_{t}"].astype(jnp.uint8).reshape(-1)
+              for t in tags for n in _INT_PARTS]
+        if scene_recall:
+            u8 += [parts[f"srh_{k}"].astype(jnp.uint8).reshape(-1)
+                   for k in sr_keys]
+            i32s = jnp.concatenate(
+                [parts[f"sre_{k}"].reshape(-1) for k in sr_keys])
+        else:
+            i32s = jnp.zeros((0,), jnp.int32)
         flts = [parts[k].reshape(-1) for k in _FLOAT_PARTS if k in parts]
         floats = (jnp.concatenate(flts) if flts
                   else jnp.zeros((0,), jnp.float32))
-        return ints, floats
+        return jnp.concatenate(u8), i32s, floats
 
     _FUSED_CACHE[key] = (fused, eval_step)
     return fused
 
 
-def _unpack_parts(ints: np.ndarray, floats: np.ndarray, batch: SceneBatch,
-                  with_probs: bool, with_raw: bool) -> Dict[str, np.ndarray]:
-    """Invert the fused packing: flat (uint8, f32) -> named np arrays."""
+def _unpack_parts(ints: np.ndarray, i32s: np.ndarray, floats: np.ndarray,
+                  batch: SceneBatch, with_probs: bool, with_raw: bool,
+                  scene_recall: bool = False) -> Dict[str, np.ndarray]:
+    """Invert the fused packing: flat (uint8, i32, f32) -> named arrays."""
     b, n = batch.gt_class.shape
     e, r = batch.num_edges, batch.gt_rels.shape[-1]
     shapes = {"obr": (b, n), "pr": (b, e, r), "png": (b, e),
               "tr": (b, e, r), "tng": (b, e)}
     per_tag = sum(int(np.prod(s)) for s in shapes.values())
-    tags = ("3d", "2d") if ints.size == 2 * per_tag else ("3d",)
+    sr_keys = [f"{n2}_{t2}" for n2, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
+    sr_size = (b * 100 * len(sr_keys)) if scene_recall else 0
+    tags = ("3d", "2d") if ints.size - sr_size == 2 * per_tag else ("3d",)
     parts: Dict[str, np.ndarray] = {}
     off = 0
     for t in tags:
@@ -144,6 +182,15 @@ def _unpack_parts(ints: np.ndarray, floats: np.ndarray, batch: SceneBatch,
             parts[f"{name}_{t}"] = (
                 ints[off:off + sz].astype(np.int32).reshape(shapes[name]))
             off += sz
+    if scene_recall:
+        for k in sr_keys:
+            parts[f"srh_{k}"] = (
+                ints[off:off + b * 100].reshape(b, 100).astype(bool))
+            off += b * 100
+        soff = 0
+        for k in sr_keys:
+            parts[f"sre_{k}"] = i32s[soff:soff + b * 100].reshape(b, 100)
+            soff += b * 100
     c = floats.size  # infer C lazily only when float parts are present
     fshapes = []
     if with_probs:
@@ -199,7 +246,7 @@ def evaluate(
         )
     }
     cls_rows, sub_scores, obj_scores, rel_scores = [], [], [], []
-    sr_combos = [("predcls", "rels"), ("sgcls", "triplet")]
+    sr_combos = list(SR_COMBOS)
     sr_acc: Dict[str, list] = {f"{m}_{t}": [] for m, _ in sr_combos for t in ("gc", "ngc")}
     sr_cls: Dict[str, list] = {k: [] for k in sr_acc}
     progbar = Progbar(total, width=20) if verbose else None
@@ -213,8 +260,8 @@ def evaluate(
         return prog_hits[key] * 100.0 / t if t else 0.0
 
     fused = _get_fused(eval_step, single_label=not multi_rel,
-                       with_probs=with_scores,
-                       with_raw=scene_recall or with_scores)
+                       with_probs=with_scores, with_raw=with_scores,
+                       scene_recall=scene_recall)
 
     state = {"has_2d": True}
 
@@ -282,26 +329,24 @@ def evaluate(
                 rel_scores.append(t3["rel_scores"])
 
         if scene_recall:
-            from vlsat_tpu.eval.recall import scene_recall_topk
+            # device already ranked the candidates and computed their hit
+            # flags inside the fused program (batched_scene_hits); the host
+            # only tallies first-hit ranks per edge — no per-scene dispatch
+            from vlsat_tpu.eval.recall import tally_hits
 
-            rel_all = p["rel_cls_3d"]
-            ol_all = p["obj_logits_3d"]
             for s in range(batch.num_scenes):
                 ev = int(edge_mask[s].sum())
                 if ev == 0 or gt_rels[s, :ev].sum() <= 0:
                     continue
-                for name, mode in sr_combos:
-                    for tag, te in (("gc", 1), ("ngc", 100)):
-                        scalar, per_cls = scene_recall_topk(
-                            obj_logits=ol_all[s], rel_probs=rel_all[s],
-                            gt_rels=gt_rels[s], gt_class=gt_class[s],
-                            edge_index=edge_index[s],
-                            topk=(20, 50, 100), topk_each=te,
-                            num_rel_classes=num_rel_classes,
-                            evaluate=mode, valid_edges=ev,
-                            return_both=True)
-                        sr_acc[f"{name}_{tag}"].append(scalar)
-                        sr_cls[f"{name}_{tag}"].append(per_cls)
+                for name, _ in sr_combos:
+                    for tag, _te in SR_VARIANTS:
+                        k2 = f"{name}_{tag}"
+                        scalar, per_cls = tally_hits(
+                            p[f"sre_{k2}"][s], p[f"srh_{k2}"][s],
+                            gt_rels[s, :ev], topk=(20, 50, 100),
+                            num_rel_classes=num_rel_classes)
+                        sr_acc[k2].append(scalar)
+                        sr_cls[k2].append(per_cls)
 
         seen += int((obj_mask.sum(axis=1) > 0).sum())
         if progbar is not None:
@@ -317,19 +362,19 @@ def evaluate(
     pending = None
     for batch in loader:
         dev = fused(params, batch_stats, batch)
-        dev[0].copy_to_host_async()
-        dev[1].copy_to_host_async()
+        for d in dev:
+            d.copy_to_host_async()
         if pending is not None:
-            (pi, pf), pb = pending
-            _assemble(_unpack_parts(np.asarray(pi), np.asarray(pf), pb,
-                                    with_scores, scene_recall or with_scores),
-                      pb)
+            (pi, ps, pf), pb = pending
+            _assemble(_unpack_parts(np.asarray(pi), np.asarray(ps),
+                                    np.asarray(pf), pb, with_scores,
+                                    with_scores, scene_recall), pb)
         pending = (dev, batch)
     if pending is not None:
-        (pi, pf), pb = pending
-        _assemble(_unpack_parts(np.asarray(pi), np.asarray(pf), pb,
-                                with_scores, scene_recall or with_scores),
-                  pb)
+        (pi, ps, pf), pb = pending
+        _assemble(_unpack_parts(np.asarray(pi), np.asarray(ps),
+                                np.asarray(pf), pb, with_scores,
+                                with_scores, scene_recall), pb)
     has_2d = state["has_2d"]
 
     arr = {k: np.asarray(v) for k, v in acc.items()}
