@@ -18,7 +18,11 @@ the triplet ranks per *scene* and assembled per scene in Python):
   * host assembly is flat over the whole batch: masked scene-major
     flattening reproduces the per-scene accumulation order exactly while
     replacing the per-scene Python loop with a handful of NumPy ops
-    (vlsat_tpu.eval.metrics vectorized assembly).
+    (vlsat_tpu.eval.metrics vectorized assembly);
+  * the multi-GT discounting (per-edge sort of GT ranks, ``tmp -
+    counter``) and the in21k scene-recall candidate ranking+hit flags are
+    computed ON DEVICE inside the same fused program — the host receives
+    already-discounted uint8 values and finishes with boolean selects.
 """
 
 from __future__ import annotations
@@ -32,13 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from vlsat_tpu.eval.metrics import (
-    assemble_predicate_topk,
-    assemble_triplet_topk,
     compute_mean_predicate,
+    discounted_ranks_device,
     get_mean_recall,
     get_zero_shot_recall,
     object_ranks,
     predicate_rank_parts,
+    sorted_gt_preds_device,
     topk_accuracy,
     triplet_rank_parts,
 )
@@ -62,20 +66,30 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
     """
     parts: Dict[str, jnp.ndarray] = {}
     tags = ("3d", "2d") if out.get("obj_logits_2d") is not None else ("3d",)
+    # 'none' targets count as no-GT edges in single-label mode (get_gt,
+    # ":20-22"); the host-side assembly masks with the same zeroed copy
+    gt_rels_d = (batch.gt_rels.at[..., 0].set(0.0) if single_label
+                 else batch.gt_rels)
     for tag in tags:
         ol = out[f"obj_logits_{tag}"]
         rc = out[f"rel_cls_{tag}"]
         rc_trip = jnp.exp(rc) if single_label else rc
         parts[f"obr_{tag}"] = object_ranks(ol, batch.gt_class, topk=11)
-        parts[f"pr_{tag}"], parts[f"png_{tag}"] = predicate_rank_parts(rc, topk=6)
+        pr, png = predicate_rank_parts(rc, topk=6)
         # chunk: static at trace time.  The factored-top-k method's big
         # temp is the (B, chunk, R+1, topk, R) compare tensor inside the
         # vmapped lax.map — bound B*chunk to keep it a few hundred MB even
         # if XLA materializes it (it usually fuses into the count reduce)
         chunk = max(8, min(batch.num_edges, 4096 // max(batch.num_scenes, 1)))
-        parts[f"tr_{tag}"], parts[f"tng_{tag}"] = jax.vmap(
+        tr, tng = jax.vmap(
             partial(triplet_rank_parts, topk=101, chunk=chunk)
         )(ol, batch.gt_class, rc_trip, batch.edge_index)
+        # multi-GT discounting ON DEVICE: ship the already-discounted value
+        # matrices instead of the raw rank parts — the host keeps only a
+        # boolean select (the per-edge int64 sorts were ~40% of its tail)
+        parts[f"prv_{tag}"] = discounted_ranks_device(pr, png, gt_rels_d)
+        parts[f"trv_{tag}"] = discounted_ranks_device(tr, tng, gt_rels_d)
+    parts["preds"] = sorted_gt_preds_device(gt_rels_d)
     if with_probs:
         parts["probs_3d"] = jax.nn.softmax(
             out["obj_logits_3d"].astype(jnp.float32), axis=-1)
@@ -91,8 +105,6 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
 
         rc3 = out["rel_cls_3d"]
         rc3 = jnp.exp(rc3) if single_label else rc3
-        gt_rels_d = (batch.gt_rels.at[..., 0].set(0.0) if single_label
-                     else batch.gt_rels)  # 'none' targets -> no-GT edges
         for name, mode in SR_COMBOS:
             for tag2, te in SR_VARIANTS:
                 eg, hit = batched_scene_hits(
@@ -104,8 +116,9 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
     return parts
 
 
-# fixed device<->host packing order for the int rank tensors (per tag)
-_INT_PARTS = ("obr", "pr", "png", "tr", "tng")
+# fixed device<->host packing order for the int rank tensors (per tag);
+# "preds" (shared across tags) is appended after the per-tag blocks
+_INT_PARTS = ("obr", "prv", "trv")
 _FLOAT_PARTS = ("probs_3d", "rel_cls_3d", "obj_logits_3d")
 
 
@@ -146,6 +159,7 @@ def _get_fused(eval_step, single_label: bool, with_probs: bool,
         tags = ("3d", "2d") if "obr_2d" in parts else ("3d",)
         u8 = [parts[f"{n}_{t}"].astype(jnp.uint8).reshape(-1)
               for t in tags for n in _INT_PARTS]
+        u8.append(parts["preds"].astype(jnp.uint8).reshape(-1))
         if scene_recall:
             u8 += [parts[f"srh_{k}"].astype(jnp.uint8).reshape(-1)
                    for k in sr_keys]
@@ -168,12 +182,13 @@ def _unpack_parts(ints: np.ndarray, i32s: np.ndarray, floats: np.ndarray,
     """Invert the fused packing: flat (uint8, i32, f32) -> named arrays."""
     b, n = batch.gt_class.shape
     e, r = batch.num_edges, batch.gt_rels.shape[-1]
-    shapes = {"obr": (b, n), "pr": (b, e, r), "png": (b, e),
-              "tr": (b, e, r), "tng": (b, e)}
+    shapes = {"obr": (b, n), "prv": (b, e, r), "trv": (b, e, r)}
     per_tag = sum(int(np.prod(s)) for s in shapes.values())
+    preds_size = b * e * r
     sr_keys = [f"{n2}_{t2}" for n2, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
     sr_size = (b * 100 * len(sr_keys)) if scene_recall else 0
-    tags = ("3d", "2d") if ints.size - sr_size == 2 * per_tag else ("3d",)
+    tags = (("3d", "2d")
+            if ints.size - sr_size - preds_size == 2 * per_tag else ("3d",))
     parts: Dict[str, np.ndarray] = {}
     off = 0
     for t in tags:
@@ -182,6 +197,9 @@ def _unpack_parts(ints: np.ndarray, i32s: np.ndarray, floats: np.ndarray,
             parts[f"{name}_{t}"] = (
                 ints[off:off + sz].astype(np.int32).reshape(shapes[name]))
             off += sz
+    parts["preds"] = ints[off:off + preds_size].astype(np.int32).reshape(
+        (b, e, r))
+    off += preds_size
     if scene_recall:
         for k in sr_keys:
             parts[f"srh_{k}"] = (
@@ -235,10 +253,11 @@ def evaluate(
     topk_each=1) and unconstrained (ngc, topk_each=100) form, averaged
     over scenes with at least one GT relation (the reference's per-scene
     ratios are 0/0 on relation-free scenes)."""
-    if num_rel_classes + 2 > 255:
+    if 2 * num_rel_classes + 1 > 255:
         raise ValueError(
-            "uint8 rank packing requires num_rel_classes <= 253 "
-            f"(got {num_rel_classes}); see _get_fused")
+            "uint8 rank packing requires num_rel_classes <= 127: the "
+            "discounted no-GT rank (R+2) plus the R-1 encode offset must "
+            f"fit a byte (got {num_rel_classes}); see _get_fused")
     acc = {
         k: [] for k in (
             "topk_obj", "topk_obj_2d", "topk_rel", "topk_rel_2d",
@@ -278,10 +297,20 @@ def evaluate(
         edge_index = np.asarray(batch.edge_index)
 
         # ---- flat (scene-major) assembly over the whole batch ----------
+        # device already sorted + discounted the ranks (discounted_ranks
+        # _device); the host keeps boolean selects over the valid slots
         gt_f = gt_rels[edge_mask]                      # (sumE, R)
+        r = gt_f.shape[-1]
+        off = r - 1                                    # u8 encode offset
+        cnt = (gt_f > 0).sum(axis=1)
+        counts = np.maximum(cnt, 1)
+        valid = np.arange(r)[None, :] < counts[:, None]
+
+        def _sel(key: str) -> np.ndarray:
+            return (p[key][edge_mask].astype(np.int64) - off)[valid]
+
         obj_f3 = p["obr_3d"][obj_mask]
-        rel_f3 = assemble_predicate_topk(
-            p["pr_3d"][edge_mask], p["png_3d"][edge_mask], gt_f)
+        rel_f3 = _sel("prv_3d")
         acc["topk_obj"].extend(obj_f3)
         acc["topk_rel"].extend(rel_f3)
         prog_hits["obj"] += int((obj_f3 <= 1).sum())
@@ -290,8 +319,7 @@ def evaluate(
         prog_tot["rel"] += len(rel_f3)
         if has_2d:
             acc["topk_obj_2d"].extend(p["obr_2d"][obj_mask])
-            acc["topk_rel_2d"].extend(assemble_predicate_topk(
-                p["pr_2d"][edge_mask], p["png_2d"][edge_mask], gt_f))
+            acc["topk_rel_2d"].extend(_sel("prv_2d"))
 
         if edge_mask.any():
             bi = np.arange(batch.num_scenes)[:, None]
@@ -300,33 +328,29 @@ def evaluate(
             obj_cls = gt_class[bi, obj_idx][edge_mask]
             rank_sub = p["obr_3d"][bi, sub_idx][edge_mask]
             rank_obj = p["obr_3d"][bi, obj_idx][edge_mask]
-            scores = {}
-            if with_scores:
-                probs3 = p["probs_3d"]
-                scores = dict(
-                    sub_scores=probs3[bi, sub_idx][edge_mask],
-                    obj_scores=probs3[bi, obj_idx][edge_mask],
-                    rel_scores=p["rel_cls_3d"][edge_mask].astype(np.float32),
-                )
-            t3 = assemble_triplet_topk(
-                p["tr_3d"][edge_mask], p["tng_3d"][edge_mask], gt_f,
-                sub_cls, obj_cls, rank_sub, rank_obj, **scores)
-            trip_r = t3["topk"]
+            trip_r = _sel("trv_3d")
+            preds = p["preds"][edge_mask].astype(np.int64)[valid] - 1
             acc["topk_triplet"].extend(trip_r)
             prog_hits["trip"] += int((trip_r <= 50).sum())
             prog_tot["trip"] += len(trip_r)
-            cls_rows.append(t3["cls_matrix"])
+            rep = lambda a: np.repeat(np.asarray(a).astype(np.int64), counts)
+            cls_rows.append(np.stack(
+                [rep(sub_cls), rep(rank_sub), rep(obj_cls), rep(rank_obj),
+                 preds], axis=1))
             if has_2d:
-                t2 = assemble_triplet_topk(
-                    p["tr_2d"][edge_mask], p["tng_2d"][edge_mask], gt_f,
-                    sub_cls, obj_cls,
-                    p["obr_2d"][bi, sub_idx][edge_mask],
-                    p["obr_2d"][bi, obj_idx][edge_mask])
-                acc["topk_triplet_2d"].extend(t2["topk"])
+                acc["topk_triplet_2d"].extend(_sel("trv_2d"))
             if with_scores:
-                sub_scores.append(t3["sub_scores"])
-                obj_scores.append(t3["obj_scores"])
-                rel_scores.append(t3["rel_scores"])
+                keep = preds >= 0  # score rows exist only for GT predicates
+                probs3 = p["probs_3d"]
+                sub_scores.append(
+                    np.repeat(probs3[bi, sub_idx][edge_mask], counts,
+                              axis=0)[keep])
+                obj_scores.append(
+                    np.repeat(probs3[bi, obj_idx][edge_mask], counts,
+                              axis=0)[keep])
+                rel_scores.append(
+                    np.repeat(p["rel_cls_3d"][edge_mask].astype(np.float32),
+                              counts, axis=0)[keep])
 
         if scene_recall:
             # device already ranked the candidates and computed their hit
@@ -356,25 +380,42 @@ def evaluate(
                 ("Acc@50/trip", _pct("trip")),
             ])
 
-    # double-buffered loop: dispatch batch k+1, then fetch + assemble batch
-    # k while the device runs — host assembly and the D2H transfers hide
-    # under the next batch's dispatch + compute (PERFORMANCE.md round 3)
-    pending = None
-    for batch in loader:
-        dev = fused(params, batch_stats, batch)
-        for d in dev:
-            d.copy_to_host_async()
-        if pending is not None:
-            (pi, ps, pf), pb = pending
-            _assemble(_unpack_parts(np.asarray(pi), np.asarray(ps),
-                                    np.asarray(pf), pb, with_scores,
+    # pipelined loop: dispatches stay on this thread (cheap, async);
+    # device->host fetches move to a small pool — each fetch BLOCKS for a
+    # full tunnel round trip (~30-40 ms) even with copy_to_host_async, and
+    # on the main thread that latency serialized with everything else
+    # (PERFORMANCE.md round 3; grouping K batches' outputs into one
+    # device-concatenated fetch measured SLOWER — the big synchronous
+    # transfer beat the latency it saved).  Assembly drains in FIFO order,
+    # preserving the reference's scene accumulation order exactly.
+    def _fetch(dev) -> tuple:
+        # a fetch of even a 0-size device array pays a full tunnel round
+        # trip (~7 ms here); shape is local metadata, so skip those
+        return tuple(np.asarray(d) if d.size else np.zeros(d.shape, d.dtype)
+                     for d in dev)
+
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = 4
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending = deque()
+        for batch in loader:
+            dev = fused(params, batch_stats, batch)
+            for d in dev:
+                if d.size:
+                    d.copy_to_host_async()
+            pending.append((pool.submit(_fetch, dev), batch))
+            while len(pending) > depth:
+                fut, pb = pending.popleft()
+                pi, ps, pf = fut.result()
+                _assemble(_unpack_parts(pi, ps, pf, pb, with_scores,
+                                        with_scores, scene_recall), pb)
+        while pending:
+            fut, pb = pending.popleft()
+            pi, ps, pf = fut.result()
+            _assemble(_unpack_parts(pi, ps, pf, pb, with_scores,
                                     with_scores, scene_recall), pb)
-        pending = (dev, batch)
-    if pending is not None:
-        (pi, ps, pf), pb = pending
-        _assemble(_unpack_parts(np.asarray(pi), np.asarray(ps),
-                                np.asarray(pf), pb, with_scores,
-                                with_scores, scene_recall), pb)
     has_2d = state["has_2d"]
 
     arr = {k: np.asarray(v) for k, v in acc.items()}

@@ -194,6 +194,48 @@ def triplet_rank_parts(
 
 
 # --------------------------------------------------------------------------
+# device-side discounting (traced into the fused eval jit)
+# --------------------------------------------------------------------------
+
+def discounted_ranks_device(
+    class_ranks: jnp.ndarray,   # (..., R) int ranks
+    no_gt_ranks: jnp.ndarray,   # (...,)   threshold rank for no-GT edges
+    gt_rels: jnp.ndarray,       # (..., R) multi-hot GT
+) -> jnp.ndarray:
+    """Device counterpart of ``_discount_parts``'s value matrix: per edge,
+    the GT ranks sorted ascending minus their position index (the
+    reference's ``tmp - counter``, eva_utils_acc.py:73-77,206-211), no-GT
+    edges carrying their threshold rank in slot 0.  Returns (..., R)
+    uint8-safe values OFFSET BY R-1 (the discount can reach 1-(R-1)) and
+    clipped to 255; slots past each edge's max(#GT, 1) are meaningless and
+    must be masked by the host (it has gt_rels).  Moving the per-edge sort
+    here removed the dominant host cost of eval assembly (np.sort over
+    (sumE, R) int64 was ~40% of the metric tail, PERFORMANCE.md round 3)."""
+    nrel = gt_rels.shape[-1]
+    gt = gt_rels > 0
+    cnt = gt.sum(-1)
+    big = jnp.int32(1 << 20)
+    ranks = jnp.where(gt, class_ranks.astype(jnp.int32), big)
+    disc = jnp.sort(ranks, axis=-1) - jnp.arange(nrel, dtype=jnp.int32)
+    vals = jnp.where((cnt == 0)[..., None],
+                     no_gt_ranks.astype(jnp.int32)[..., None], disc)
+    return jnp.clip(vals + (nrel - 1), 0, 255)
+
+
+def sorted_gt_preds_device(gt_rels: jnp.ndarray) -> jnp.ndarray:
+    """Per-edge GT predicate ids ascending (cls_matrix column 5 layout),
+    encoded uint8-safe as id+1 with 0 = the no-GT edge marker (-1) and
+    R+1 padding past each edge's GT count.  Shared across the rel/triplet
+    and 3d/2d assemblies (it depends only on gt_rels)."""
+    nrel = gt_rels.shape[-1]
+    gt = gt_rels > 0
+    cnt = gt.sum(-1)
+    pm = jnp.where(gt, jnp.arange(nrel, dtype=jnp.int32), jnp.int32(nrel))
+    spm = jnp.sort(pm, axis=-1) + 1
+    return jnp.where((cnt == 0)[..., None], 0, spm)
+
+
+# --------------------------------------------------------------------------
 # host-side assembly (tiny arrays)
 # --------------------------------------------------------------------------
 
@@ -305,16 +347,20 @@ def get_mean_recall(
     (eva_utils_acc.py:224-237)."""
     if len(cls_matrix) == 0:
         return np.zeros(len(topk))
-    per_k = [[] for _ in topk]
-    for c in range(num_rel_classes):
-        cls_rank = triplet_rank[cls_matrix[:, -1] == c]
-        if len(cls_rank) == 0:
-            continue
-        for i, k in enumerate(topk):
-            per_k[i].append((cls_rank <= k).sum() * 100.0 / len(cls_rank))
-    if not per_k[0]:
+    preds = np.asarray(cls_matrix[:, -1])
+    m = (preds >= 0) & (preds < num_rel_classes)
+    pc = preds[m].astype(np.int64)
+    ranks = np.asarray(triplet_rank)[m]
+    tot = np.bincount(pc, minlength=num_rel_classes)
+    nz = tot > 0
+    if not nz.any():
         return np.zeros(len(topk))
-    return np.asarray(per_k, dtype=np.float32).mean(axis=1)
+    out = []
+    for k in topk:
+        hits = np.bincount(pc, weights=(ranks <= k).astype(np.float64),
+                           minlength=num_rel_classes)
+        out.append((hits[nz] * 100.0 / tot[nz]).astype(np.float32).mean())
+    return np.asarray(out)
 
 
 def compute_mean_predicate(
@@ -327,16 +373,20 @@ def compute_mean_predicate(
     cls_matrix rows are index-aligned (one entry per GT predicate or per
     no-GT edge).
     """
-    buckets: Dict[int, List[int]] = {i: [] for i in range(num_rel_classes)}
-    for i, row in enumerate(cls_matrix):
-        if row[-1] != -1:
-            buckets[int(row[-1])].append(topk_pred[i])
+    preds = np.asarray(cls_matrix[:, -1]) if len(cls_matrix) else np.zeros(0, np.int64)
+    m = preds >= 0
+    pc = preds[m].astype(np.int64)
+    ranks = np.asarray(topk_pred)[m] if len(cls_matrix) else np.zeros(0, np.int64)
+    tot = np.bincount(pc, minlength=num_rel_classes)
+    nz = tot > 0
     means = []
     for k in ks:
-        vals = [
-            (np.asarray(v) <= k).mean() for v in buckets.values() if len(v) > 0
-        ]
-        means.append(float(np.mean(vals) * 100.0) if vals else 0.0)
+        if not nz.any():
+            means.append(0.0)
+            continue
+        hits = np.bincount(pc, weights=(ranks <= k).astype(np.float64),
+                           minlength=num_rel_classes)
+        means.append(float((hits[nz] / tot[nz]).mean() * 100.0))
     return means
 
 
