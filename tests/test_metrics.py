@@ -181,3 +181,47 @@ def test_triplet_rank_methods_agree():
                                topk=topk, chunk=16, method="sort")
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_zero_shot_recall_matches_naive_loop():
+    from vlsat_tpu.eval.metrics import get_zero_shot_recall
+
+    rng = np.random.RandomState(5)
+    n, c, nrel = 400, 12, 7
+    cls_matrix = np.stack([
+        rng.randint(0, c, n), rng.randint(1, 12, n),
+        rng.randint(0, c, n), rng.randint(1, 12, n),
+        rng.randint(-1, nrel, n)], axis=1).astype(np.int64)
+    ranks = rng.randint(1, 102, n).astype(np.int64)
+    vocab = {f"{rng.randint(0, c)} {rng.randint(0, c)} {rng.randint(0, nrel)}"
+             for _ in range(40)}
+
+    def naive(triplet_rank, cm, train_triplets):
+        zero, non_zero, all_r = [], [], []
+        for i, row in enumerate(cm):
+            if row[-1] == -1:
+                continue
+            key = f"{row[0]} {row[2]} {row[-1]}"
+            (zero if key not in train_triplets else non_zero).append(
+                triplet_rank[i])
+            all_r.append(triplet_rank[i])
+
+        def rec(a):
+            a = np.asarray(a)
+            if len(a) == 0:
+                return (float("nan"), float("nan"))
+            return (float((a <= 50).mean() * 100), float((a <= 100).mean() * 100))
+
+        z, nz, al = rec(zero), rec(non_zero), rec(all_r)
+        return {"zero_shot_50": z[0], "zero_shot_100": z[1],
+                "non_zero_shot_50": nz[0], "non_zero_shot_100": nz[1],
+                "all_50": al[0], "all_100": al[1]}
+
+    got = get_zero_shot_recall(ranks, cls_matrix, vocab)
+    want = naive(ranks, cls_matrix, vocab)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], err_msg=k)
+    # empty matrix: all NaN, no crash
+    empty = get_zero_shot_recall(np.zeros(0, np.int64),
+                                 np.zeros((0, 5), np.int64), vocab)
+    assert all(np.isnan(v) for v in empty.values())

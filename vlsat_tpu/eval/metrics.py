@@ -402,17 +402,27 @@ def get_zero_shot_recall(
     in training (built by vlsat_tpu.data.assets.build_triplet_vocab — the
     reference hard-codes an absolute path here, eva_utils_acc.py:249-261).
     """
-    zero, non_zero, all_r = [], [], []
-    for i, row in enumerate(cls_matrix):
-        if row[-1] == -1:
-            continue
-        # cls_matrix rows are always [sub_gt, sub_rank, obj_gt, obj_rank, pred]
-        key = f"{row[0]} {row[2]} {row[-1]}"
-        if key not in train_triplets:
-            zero.append(triplet_rank[i])
-        else:
-            non_zero.append(triplet_rank[i])
-        all_r.append(triplet_rank[i])
+    # vectorized membership: encode (sub, obj, pred) triplets as single
+    # int64 keys and test against the encoded vocab with np.isin — the
+    # per-row f-string/set path cost ~1 us/row at full-split scale
+    cm = np.asarray(cls_matrix)
+    ranks = np.asarray(triplet_rank)
+    m = cm[:, -1] != -1 if len(cm) else np.zeros(0, bool)
+    cm = cm[m]
+    all_r = ranks[m]
+    if len(cm):
+        base = int(max(cm[:, 0].max(), cm[:, 2].max(), cm[:, -1].max())) + 2
+        enc = (cm[:, 0].astype(np.int64) * base + cm[:, 2]) * base + cm[:, -1]
+        vocab = []
+        for key in train_triplets:
+            s, o, p = (int(x) for x in key.split())
+            if s < base - 1 and o < base - 1 and p < base - 1:
+                vocab.append((s * base + o) * base + p)
+        seen = np.isin(enc, np.asarray(vocab, dtype=np.int64))
+    else:
+        seen = np.zeros(0, bool)
+    zero = all_r[~seen]
+    non_zero = all_r[seen]
 
     def rec(a):
         a = np.asarray(a)
