@@ -187,15 +187,29 @@ def main():
         _build_pack()
         packed = PackedScenes(pack_dir)
 
-    # eval e2e: packed loader -> fused (forward+ranks) dispatch per batch
-    # -> vectorized host assembly -> aggregate metrics
+    # eval e2e: fused (forward+ranks) dispatch per batch -> vectorized host
+    # assembly -> aggregate metrics.  Production default (EVAL_RESIDENT
+    # auto): the packed split is pinned in HBM and batches gather by index
+    # on device, so dispatches carry no H2D payload (the streamed batch is
+    # ~2.7 MB ≈ 20 ms of tunnel link time); metrics are bit-identical
+    # (tests/test_resident.py) — the streaming rate is reported alongside
+    from vlsat_tpu.data.resident import ResidentEvalLoader, ResidentScenes
+
     eval_step = make_eval_step(model)
+    resident = ResidentScenes(packed)
+    evaluate(eval_step, params, batch_stats,
+             ResidentEvalLoader(resident, 32), verbose=False)  # warm
+    t0 = time.perf_counter()
+    evaluate(eval_step, params, batch_stats,
+             ResidentEvalLoader(resident, 32), verbose=False)
+    eval_e2e = len(packed) / (time.perf_counter() - t0)
+
     evaluate(eval_step, params, batch_stats,
              PackedLoader(packed, batch_size=32), verbose=False)  # warm
     t0 = time.perf_counter()
     evaluate(eval_step, params, batch_stats,
              PackedLoader(packed, batch_size=32), verbose=False)
-    eval_e2e = len(packed) / (time.perf_counter() - t0)
+    eval_e2e_streaming = len(packed) / (time.perf_counter() - t0)
 
     # train e2e: DEVICE-RESIDENT packed split (data/resident.py) — the
     # split's tensors ship to HBM once; each dispatch carries a (K*B,)
@@ -206,9 +220,8 @@ def main():
     # per-leaf transfer per 256-scene group through this tunnel —
     # PERFORMANCE.md round 3 "End-to-end")
     K, B_TR = 32, 8
-    from vlsat_tpu.data.resident import ResidentScenes, epoch_permutations
+    from vlsat_tpu.data.resident import epoch_permutations
 
-    resident = ResidentScenes(packed)
     bkt = packed.buckets[0]
     res_multi = make_resident_multi_train_step(
         model, opt, resident.full_batch(bkt), batch_size=B_TR, donate=False,
@@ -270,6 +283,9 @@ def main():
         # + prefetch + device steps; eval includes the full metric engine
         "train_e2e_scenes_per_sec": round(train_e2e, 2),
         "eval_e2e_scenes_per_sec": round(eval_e2e, 2),
+        # same engine fed by the streaming mmap loader (per-batch H2D) —
+        # the fallback when the pack exceeds RESIDENT_HBM_BUDGET
+        "eval_e2e_streaming_scenes_per_sec": round(eval_e2e_streaming, 2),
         # link context: e2e rates ride the host<->device link; on remote-
         # TPU tunnels these two numbers explain most of any e2e shortfall
         "tunnel_dispatch_ms": round(dispatch_ms, 2),

@@ -62,6 +62,36 @@ def test_resident_matches_streaming(pack):
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_resident_eval_loader_matches_streaming(pack):
+    """evaluate() over (host, device) pairs == over streamed host batches,
+    exactly — including a trailing partial batch."""
+    from vlsat_tpu.data.packed import PackedLoader
+    from vlsat_tpu.data.resident import ResidentEvalLoader
+    from vlsat_tpu.eval.engine import evaluate
+    from vlsat_tpu.train.step import make_eval_step
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    eval_fn = make_eval_step(model)
+    resident = ResidentScenes(pack)
+
+    for bs in (2, 3):  # 3: 4 scenes -> a trailing partial batch of 1
+        stream = evaluate(eval_fn, params, bstats,
+                          PackedLoader(pack, batch_size=bs), verbose=False)
+        res_loader = ResidentEvalLoader(resident, bs)
+        assert len(res_loader) == -(-pack.count(pack.buckets[0]) // bs)
+        res = evaluate(eval_fn, params, bstats, res_loader, verbose=False)
+        assert stream.keys() == res.keys()
+        for k in stream:
+            np.testing.assert_array_equal(
+                np.asarray(stream[k]), np.asarray(res[k]), err_msg=k)
+
+
 def test_epoch_permutations_cover_and_drop():
     counts = {8: 7, 16: 5}
     groups = list(epoch_permutations(counts, group=2, epoch=0, seed=1))

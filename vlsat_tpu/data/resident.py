@@ -77,6 +77,47 @@ class ResidentScenes:
         return self.packed.batch(bucket, idx, self.variant)
 
 
+class ResidentEvalLoader:
+    """Sequential eval batches as (host, device) SceneBatch pairs.
+
+    ``evaluate()`` dispatches the fused program on the DEVICE half — the
+    minibatch is gathered by index from the resident copy, so the dispatch
+    carries no per-batch host->device payload (a streamed 32-scene eval
+    batch is ~2.7 MB; through a remote-TPU tunnel that is ~20 ms of link
+    time per batch on the critical path) — and assembles metrics from the
+    HOST half (mmap views of the same rows; reading batch fields off
+    device arrays would pay a device->host round trip per leaf).
+
+    Iteration order matches ``PackedLoader(shuffle=False)`` exactly:
+    buckets ascending, contiguous slices, trailing partial batch kept
+    (eval covers every scene; each distinct tail size compiles once).
+    """
+
+    def __init__(self, resident: ResidentScenes, batch_size: int):
+        self.resident = resident
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        bs = self.batch_size
+        return sum(-(-self.resident.count(b) // bs)
+                   for b in self.resident.buckets)
+
+    def __iter__(self):
+        import jax
+        import jax.numpy as jnp
+
+        gather = jax.jit(lambda full, idx: jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), full))
+        for b in self.resident.buckets:
+            c = self.resident.count(b)
+            full = self.resident.full_batch(b)
+            for start in range(0, c, self.batch_size):
+                stop = min(start + self.batch_size, c)
+                host = self.resident.host_batch(b, slice(start, stop))
+                dev = gather(full, jnp.arange(start, stop, dtype=jnp.int32))
+                yield host, dev
+
+
 def epoch_permutations(
     counts: Dict[int, int],
     group: int,

@@ -231,7 +231,7 @@ def evaluate(
     eval_step,
     params,
     batch_stats,
-    loader: Iterable[SceneBatch],
+    loader: Iterable,  # SceneBatch items, or (host, device) SceneBatch pairs
     num_rel_classes: int = 26,
     train_triplet_vocab: Optional[set] = None,
     save_dir: Optional[str] = None,
@@ -400,8 +400,13 @@ def evaluate(
     depth = 4
     with ThreadPoolExecutor(max_workers=2) as pool:
         pending = deque()
-        for batch in loader:
-            dev = fused(params, batch_stats, batch)
+        for item in loader:
+            # (host, device) pairs (data/resident.py ResidentEvalLoader):
+            # dispatch on the device half — no per-batch H2D payload —
+            # and assemble from the host half (mmap views; reading fields
+            # off device arrays would pay a D2H round trip per leaf)
+            batch, dev_in = item if isinstance(item, tuple) else (item, item)
+            dev = fused(params, batch_stats, dev_in)
             for d in dev:
                 if d.size:
                     d.copy_to_host_async()

@@ -205,7 +205,44 @@ class Runner:
             return None
         from vlsat_tpu.data.packed import PackedScenes
 
-        return PackedScenes(pack)
+        # cached per split: _eval_loader keys its device-resident copy on
+        # the PackedScenes identity across repeated validation passes
+        cache = getattr(self, "_packed_cache", None)
+        if cache is None:
+            cache = self._packed_cache = {}
+        if split not in cache:
+            cache[split] = PackedScenes(pack)
+        return cache[split]
+
+    def _eval_loader(self, packed, bs: int):
+        """Validation loader over a packed split.
+
+        Single-device runs pin the split in HBM and gather eval batches by
+        index on device (EVAL_RESIDENT: auto/true/false, mirroring
+        TRAIN_RESIDENT — "auto" enables it when the pack fits
+        RESIDENT_HBM_BUDGET); the resident copy is cached across
+        validation passes.  Meshes keep the streaming PackedLoader (the
+        sharded path pads+shards host batches, parallel/mesh.py).
+        """
+        from vlsat_tpu.data.packed import PackedLoader
+
+        if self.mesh is None:
+            mode = str(self.cfg.get("EVAL_RESIDENT", "auto")).lower()
+            on = mode in ("1", "true", "yes")
+            if mode == "auto":
+                from vlsat_tpu.data.resident import split_nbytes
+
+                on = split_nbytes(packed) <= int(
+                    self.cfg.get("RESIDENT_HBM_BUDGET", 2 << 30))
+            if on:
+                from vlsat_tpu.data.resident import (
+                    ResidentEvalLoader, ResidentScenes)
+
+                cached = getattr(self, "_eval_resident", None)
+                if cached is None or cached.packed is not packed:
+                    cached = self._eval_resident = ResidentScenes(packed)
+                return ResidentEvalLoader(cached, bs)
+        return PackedLoader(packed, batch_size=bs)
 
     # ------------------------------------------------------------------ train
     def train(self) -> None:
@@ -225,9 +262,7 @@ class Runner:
         def val_loader():
             vp = self._packed("validation")
             if vp is not None:
-                from vlsat_tpu.data.packed import PackedLoader
-
-                vl = PackedLoader(vp, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)))
+                vl = self._eval_loader(vp, int(cfg.get("EVAL_BATCH_SIZE", 1)))
             else:
                 vl = SceneLoader(
                     self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
@@ -413,9 +448,7 @@ class Runner:
         bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
         packed = self._packed("validation")
         if packed is not None:
-            from vlsat_tpu.data.packed import PackedLoader
-
-            loader = PackedLoader(packed, batch_size=bs)
+            loader = self._eval_loader(packed, bs)
         else:
             loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
                                  buckets=self.cfg.dataset.node_buckets)
