@@ -19,6 +19,9 @@ per-iteration time is the slope.  A naive python dispatch loop measures
 the host/tunnel enqueue rate instead of device throughput on remote-TPU
 setups (block_until_ready can acknowledge before execution completes), and
 without the carry dependence XLA hoists the whole body out of the loop.
+The scan body perturbs EVERY input with the carry and sums EVERY output
+into it; anything less lets XLA hoist or dead-code-eliminate real work
+(verified by compiled cost_analysis — see PERFORMANCE.md round 3).
 """
 
 from __future__ import annotations
@@ -71,11 +74,23 @@ def main():
 
     @partial(jax.jit, static_argnames=("n", "b3d"))
     def eval_many(params, batch_stats, batch, n, b3d=False):
+        # DCE-proofing (round-3 find): the scan body must (a) perturb EVERY
+        # model input with the carry — else XLA hoists the untouched input's
+        # subgraph out of the loop — and (b) consume EVERY output — else XLA
+        # dead-code-eliminates the heads/branches that feed nothing.  An
+        # earlier harness consumed only obj_logits_3d and perturbed only
+        # obj_points; cost_analysis showed it executed 9.8 GFLOP/iter vs
+        # 32.3 GFLOP for the real program (PERFORMANCE.md round 3).
         def body(carry, _):
-            perturbed = batch.replace(obj_points=batch.obj_points + carry * 1e-30)
+            eps = carry * 1e-30
+            perturbed = batch.replace(
+                obj_points=batch.obj_points + eps,
+                obj_2d_feats=batch.obj_2d_feats + eps,
+                descriptor=batch.descriptor + eps)
             out = model.apply({"params": params, "batch_stats": batch_stats},
                               perturbed, istrain=False, branch_3d_only=b3d)
-            return carry + out["obj_logits_3d"].sum() * 1e-30, None
+            s = sum(o.sum() for o in jax.tree_util.tree_leaves(out))
+            return carry + s * 1e-30, None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
         return acc

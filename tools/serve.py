@@ -89,8 +89,10 @@ def main():
                            deadline_ms=args.deadline_ms)
     with server:
         # warm the compile for both buckets the pool can produce (12 and 16)
-        server.predict(scenes[0])   # 9 nodes  -> bucket 12
-        server.predict(scenes[6])   # 16 nodes -> bucket 16
+        # cold compiles of the (max_batch, bucket) programs can take
+        # minutes on a loaded host — far past predict()'s default 60 s
+        server.predict(scenes[0], timeout=1800)   # 9 nodes  -> bucket 12
+        server.predict(scenes[6], timeout=1800)   # 16 nodes -> bucket 16
         res = bench_server(server, scenes, duration_s=args.duration,
                            clients=args.clients)
     out = {"batched": res}

@@ -48,6 +48,7 @@ class BatchedServer:
         feat_dim: int = 512,
         num_rel_classes: int = 26,
         branch_key: str = "3d",
+        pad_to_max: bool = True,
     ):
         self._eval = eval_step
         self._params = params
@@ -58,6 +59,12 @@ class BatchedServer:
         self.feat_dim = feat_dim
         self.num_rel_classes = num_rel_classes
         self.branch_key = branch_key
+        # pad every batch to max_batch scenes (zero obj_mask rows): under
+        # jit each distinct (batch, bucket) shape compiles a fresh program
+        # (20-40 s) — variable closed-loop batch sizes otherwise spend the
+        # whole run compiling.  One shape per bucket serves every batch;
+        # masked scenes are dead rows the result distribution never reads.
+        self.pad_to_max = pad_to_max
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -145,6 +152,10 @@ class BatchedServer:
                 ei, np.zeros((len(ei), nrel), np.float32),
                 n_max=bucket, feat_dim=self.feat_dim,
             ))
+        if self.pad_to_max:
+            while len(padded) < self.max_batch:
+                padded.append({k: np.zeros_like(v)
+                               for k, v in padded[0].items()})
         batch = collate(padded)
         out = self._eval(self._params, self._batch_stats, batch)
         ol = np.asarray(out[f"obj_logits_{self.branch_key}"])
