@@ -32,6 +32,48 @@ import time
 from functools import partial
 
 
+def make_eval_many(model):
+    """Build the carry-chained eval scan used for device-true timing.
+
+    DCE-proofing (round-3 find): the scan body must (a) perturb EVERY
+    model input with the carry — else XLA hoists the untouched input's
+    subgraph out of the loop — and (b) consume EVERY output — else XLA
+    dead-code-eliminates the heads/branches that feed nothing.  An
+    earlier harness consumed only obj_logits_3d and perturbed only
+    obj_points; cost_analysis showed it executed 78 GFLOP/iter vs
+    258.7 GFLOP for the real program at B=32/bucket 16 (PERFORMANCE.md
+    round 3; note cost_analysis counts a scan body ONCE regardless of
+    trip count).
+
+    (c) the consumption must be NON-LINEAR in each output
+    (``abs().sum()``): a plain ``sum()`` lets XLA's algebraic simplifier
+    rewrite ``reduce(dot(A, B))`` as ``dot(reduce(A), reduce(B))``,
+    collapsing every head matmul feeding the reduction (caught by
+    tests/test_bench_harness.py, which asserts scanned-body FLOPs ==
+    standalone program FLOPs so the harness can't silently regress).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n", "b3d"))
+    def eval_many(params, batch_stats, batch, n, b3d=False):
+        def body(carry, _):
+            eps = carry * 1e-30
+            perturbed = batch.replace(
+                obj_points=batch.obj_points + eps,
+                obj_2d_feats=batch.obj_2d_feats + eps,
+                descriptor=batch.descriptor + eps)
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              perturbed, istrain=False, branch_3d_only=b3d)
+            s = sum(jnp.abs(o).sum() for o in jax.tree_util.tree_leaves(out))
+            return carry + s * 1e-30, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return acc
+
+    return eval_many
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,28 +114,7 @@ def main():
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
-    @partial(jax.jit, static_argnames=("n", "b3d"))
-    def eval_many(params, batch_stats, batch, n, b3d=False):
-        # DCE-proofing (round-3 find): the scan body must (a) perturb EVERY
-        # model input with the carry — else XLA hoists the untouched input's
-        # subgraph out of the loop — and (b) consume EVERY output — else XLA
-        # dead-code-eliminates the heads/branches that feed nothing.  An
-        # earlier harness consumed only obj_logits_3d and perturbed only
-        # obj_points; cost_analysis showed it executed 9.8 GFLOP/iter vs
-        # 32.3 GFLOP for the real program (PERFORMANCE.md round 3).
-        def body(carry, _):
-            eps = carry * 1e-30
-            perturbed = batch.replace(
-                obj_points=batch.obj_points + eps,
-                obj_2d_feats=batch.obj_2d_feats + eps,
-                descriptor=batch.descriptor + eps)
-            out = model.apply({"params": params, "batch_stats": batch_stats},
-                              perturbed, istrain=False, branch_3d_only=b3d)
-            s = sum(o.sum() for o in jax.tree_util.tree_leaves(out))
-            return carry + s * 1e-30, None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return acc
+    eval_many = make_eval_many(model)
 
     from vlsat_tpu.utils.profiling import trace
 
