@@ -97,3 +97,45 @@ def test_server_error_propagates():
             raise AssertionError("expected RuntimeError")
         except RuntimeError as e:
             assert "boom" in str(e)
+
+
+def test_server_pads_batches_to_constant_shape():
+    """pad_to_max (default): every dispatch sees exactly max_batch scenes
+    regardless of how many requests were soaked, so one compiled program
+    per bucket serves all load levels (variable closed-loop batch sizes
+    otherwise compile a fresh (batch, bucket) program each, 20-40 s on
+    TPU). Padded scenes are zero obj_mask rows the result distribution
+    never reads."""
+    model, params, batch_stats = _small_setup()
+    step = make_eval_step(model)
+    seen_shapes = []
+
+    def recording_step(p, bs, batch):
+        seen_shapes.append(batch.obj_points.shape[0])
+        return step(p, bs, batch)
+
+    server = BatchedServer(recording_step, params, batch_stats, max_batch=6,
+                           deadline_ms=30.0, num_rel_classes=7)
+    rng = np.random.RandomState(3)
+    scenes = [_scene(rng, n) for n in (3, 4, 3)]
+    with server:
+        # first a single request (flushes as a 1-scene micro-batch), then a
+        # burst of 3 — both dispatches must be padded to max_batch=6
+        r0 = server.predict(scenes[0], timeout=120)
+        futs = [server.submit(s) for s in scenes]
+        rs = [f.result(timeout=120) for f in futs]
+    assert seen_shapes and all(s == 6 for s in seen_shapes), seen_shapes
+
+    # padding must not perturb real outputs: same scene, direct eval
+    n = scenes[0]["obj_points"].shape[0]
+    ei = full_edge_index(n)
+    padded = pad_scene(
+        scenes[0]["obj_points"], scenes[0]["descriptor"],
+        scenes[0]["obj_2d_feats"], np.zeros((n,), np.int32), ei,
+        np.zeros((len(ei), 7), np.float32), n_max=4)
+    direct = step(params, batch_stats, collate([padded]))
+    np.testing.assert_allclose(
+        r0["obj_logits"], np.asarray(direct["obj_logits_3d"])[0, :n],
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        rs[0]["obj_logits"], r0["obj_logits"], rtol=1e-6, atol=1e-6)
