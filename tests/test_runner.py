@@ -65,3 +65,37 @@ def test_config_enum_validation():
     assert c.nested.y == 1
     with pytest.raises(AttributeError):
         _ = c.missing_key
+
+
+def test_runner_serve_mode_http(runner_cfg):
+    """--mode serve path: Runner.serve -> BatchedServer + HTTPFrontend,
+    fresh-init fallback when no checkpoint exists (main.py serve mode)."""
+    import io
+    import urllib.request
+
+    from vlsat_tpu.train.runner import Runner
+
+    cfg = runner_cfg
+    cfg["MODE"] = "serve"
+    r = Runner(cfg)
+    try:
+        r.load(best=False, allow_fallback=True)  # no ckpt -> fresh init
+        with r.serve(port=0, max_batch=4, deadline_ms=5.0) as fe:
+            scene = r.valid_scenes.prepare(0, np.random.RandomState(0))
+            buf = io.BytesIO()
+            np.savez(buf, obj_points=scene["obj_points"],
+                     descriptor=scene["descriptor"],
+                     obj_2d_feats=scene["obj_2d_feats"])
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{fe.port}/predict", data=buf.getvalue())
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                with np.load(io.BytesIO(resp.read()),
+                             allow_pickle=False) as z:
+                    out = {k: z[k] for k in z.files}
+        n = scene["obj_points"].shape[0]
+        assert out["obj_logits"].shape[0] == n
+        assert out["edge_index"].shape == (n * (n - 1), 2)
+        assert np.isfinite(out["obj_logits"]).all()
+        assert np.isfinite(out["rel_cls"]).all()
+    finally:
+        r.close()

@@ -139,3 +139,61 @@ def test_server_pads_batches_to_constant_shape():
         rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(
         rs[0]["obj_logits"], r0["obj_logits"], rtol=1e-6, atol=1e-6)
+
+
+def test_http_frontend_predict_and_health():
+    """POST /predict (npz in, npz out) matches direct eval; /healthz counts."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from vlsat_tpu.serving import HTTPFrontend
+
+    model, params, batch_stats = _small_setup()
+    step = make_eval_step(model)
+    server = BatchedServer(step, params, batch_stats, max_batch=4,
+                           deadline_ms=5.0, num_rel_classes=7)
+    rng = np.random.RandomState(5)
+    scene = _scene(rng, 3)
+
+    with HTTPFrontend(server, port=0) as fe:
+        buf = io.BytesIO()
+        np.savez(buf, **scene)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            assert resp.status == 200
+            with np.load(io.BytesIO(resp.read()), allow_pickle=False) as z:
+                out = {k: z[k] for k in z.files}
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{fe.port}/healthz", timeout=30) as resp:
+            health = _json.loads(resp.read())
+        assert health["ok"] and health["scenes"] == 1
+
+        # malformed payload -> 400 with a reason, server stays up
+        bad = io.BytesIO()
+        np.savez(bad, obj_points=scene["obj_points"])  # no descriptor
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{fe.port}/predict", data=bad.getvalue())
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"descriptor" in e.read()
+
+    n = scene["obj_points"].shape[0]
+    ei = full_edge_index(n)
+    padded = pad_scene(
+        scene["obj_points"], scene["descriptor"], scene["obj_2d_feats"],
+        np.zeros((n,), np.int32), ei, np.zeros((len(ei), 7), np.float32),
+        n_max=4)
+    direct = step(params, batch_stats, collate([padded]))
+    np.testing.assert_allclose(
+        out["obj_logits"], np.asarray(direct["obj_logits_3d"])[0, :n],
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        out["rel_cls"], np.asarray(direct["rel_cls_3d"])[0, :len(ei)],
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(out["edge_index"], ei)

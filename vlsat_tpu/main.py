@@ -1,4 +1,4 @@
-"""CLI entry: python -m vlsat_tpu.main --mode {train,eval} --config cfg.json
+"""CLI entry: python -m vlsat_tpu.main --mode {train,eval,trace,serve} --config cfg.json
 
 Counterpart of the reference's main.py: loads the config (defaults merged
 with the given JSON), seeds, archives the resolved config under the
@@ -14,10 +14,16 @@ import os
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="vlsat_tpu: TPU-native 3D scene graph prediction")
     p.add_argument("--config", type=str, default=None, help="experiment config JSON")
-    p.add_argument("--mode", type=str, choices=["train", "eval", "trace"], default="train")
+    p.add_argument("--mode", type=str, choices=["train", "eval", "trace", "serve"],
+                   default="train")
     p.add_argument("--exp", type=str, default="default")
     p.add_argument("--loadbest", action="store_true", help="load best (vs latest) checkpoint")
     p.add_argument("--data-parallel", action="store_true", help="shard batches over all devices")
+    p.add_argument("--host", type=str, default="127.0.0.1", help="serve: bind address")
+    p.add_argument("--port", type=int, default=8764, help="serve: port (0 = ephemeral)")
+    p.add_argument("--max-batch", type=int, default=32, help="serve: micro-batch cap")
+    p.add_argument("--deadline-ms", type=float, default=5.0,
+                   help="serve: batch-formation latency budget")
     return p.parse_args(argv)
 
 
@@ -56,6 +62,15 @@ def main(argv=None):
             if not runner.load(best=args.loadbest):
                 print("warning: no checkpoint found, evaluating fresh init")
             runner.validation(save=True, with_scores=True)
+        elif args.mode == "serve":
+            if not runner.load(best=args.loadbest):
+                print("warning: no checkpoint found, serving fresh init")
+            frontend = runner.serve(host=args.host, port=args.port,
+                                    max_batch=args.max_batch,
+                                    deadline_ms=args.deadline_ms)
+            print(f"serving on http://{args.host}:{frontend.port} "
+                  f"(POST /predict, GET /healthz)")
+            frontend.serve_forever()
         elif args.mode == "trace":
             from vlsat_tpu.utils.export import trace_model
             runner.load(best=args.loadbest)

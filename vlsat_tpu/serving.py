@@ -17,6 +17,8 @@ src/model/model.py:181-244, one scene per step); this is new capability.
 
 from __future__ import annotations
 
+import io
+import json
 import queue
 import threading
 import time
@@ -169,6 +171,118 @@ class BatchedServer:
                 "rel_cls": rc[k, :len(ei)],
                 "edge_index": ei,
             })
+
+
+class HTTPFrontend:
+    """Minimal production transport over a :class:`BatchedServer`.
+
+    Endpoints (stdlib ``ThreadingHTTPServer`` — each request thread blocks
+    on its scene's Future while the server micro-batches across threads):
+
+    * ``POST /predict`` — body is an ``.npz`` payload with ``obj_points``
+      (n, P, C) zero-meaned, ``descriptor`` (n, 11), optional
+      ``obj_2d_feats`` (n, D2) and ``edge_index`` (e, 2).  Response is an
+      ``.npz`` with ``obj_logits`` (n, C_obj), ``rel_cls`` (e, R) and
+      ``edge_index`` (e, 2).
+    * ``GET /healthz`` — JSON ``{"ok": true, "scenes": ..., "batches":
+      ..., "mean_batch_size": ...}``.
+
+    The reference has no serving story at all; this plus BatchedServer is
+    the deployment path PERFORMANCE.md's dispatch-ceiling analysis calls
+    for (batch on the server, not per-request dispatches).
+    """
+
+    def __init__(self, server: BatchedServer, host: str = "127.0.0.1",
+                 port: int = 0, timeout_s: float = 120.0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    self._reply(404, b'{"error": "not found"}',
+                                "application/json")
+                    return
+                st = frontend.server.stats
+                body = json.dumps({
+                    "ok": True, "scenes": st["scenes"],
+                    "batches": st["batches"],
+                    "mean_batch_size": (st["batch_size_sum"] /
+                                        max(st["batches"], 1)),
+                }).encode()
+                self._reply(200, body, "application/json")
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._reply(404, b'{"error": "not found"}',
+                                "application/json")
+                    return
+                try:
+                    raw = self.rfile.read(
+                        int(self.headers.get("Content-Length", "0")))
+                    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+                        scene = {k: z[k] for k in z.files}
+                    if "obj_points" not in scene or "descriptor" not in scene:
+                        raise ValueError(
+                            "payload needs obj_points and descriptor")
+                    res = frontend.server.predict(
+                        scene, timeout=frontend.timeout_s)
+                    buf = io.BytesIO()
+                    np.savez(buf, **res)
+                    self._reply(200, buf.getvalue(),
+                                "application/octet-stream")
+                except Exception as e:  # client gets the reason
+                    self._reply(400, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode(),
+                        "application/json")
+
+        self.server = server
+        self.timeout_s = timeout_s
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "HTTPFrontend":
+        self.server.start()
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+        self.server.stop()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def serve_forever(self):
+        """Foreground entry for the CLI serve mode (Ctrl-C to stop)."""
+        self.server.start()
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.httpd.server_close()
+            self.server.stop()
 
 
 def bench_server(server: BatchedServer, scenes: Sequence[dict],

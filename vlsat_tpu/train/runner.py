@@ -430,6 +430,29 @@ class Runner:
             if int(self.state.step) >= self.max_iteration:
                 break
 
+    # ------------------------------------------------------------------ serve
+    def serve(self, host: str = "127.0.0.1", port: int = 8764,
+              max_batch: int = 32, deadline_ms: float = 5.0):
+        """Build the deployment frontend: micro-batching BatchedServer +
+        HTTP transport (vlsat_tpu/serving.py), honoring EVAL_3D_ONLY like
+        validation() does.  Returns an un-started HTTPFrontend; call
+        ``.serve_forever()`` (CLI) or use it as a context manager (tests).
+        """
+        assert self.state is not None, "call load() first"
+        from vlsat_tpu.models import MMGNet as _MMGNet
+        from vlsat_tpu.serving import BatchedServer, HTTPFrontend
+
+        b3d = bool(self.cfg.get("EVAL_3D_ONLY", False)) and isinstance(
+            self.model, _MMGNet)
+        eval_fn = make_eval_step(self.model, branch_3d_only=b3d)
+        server = BatchedServer(
+            eval_fn, self.state.params, self.state.batch_stats,
+            max_batch=max_batch, deadline_ms=deadline_ms,
+            buckets=tuple(self.cfg.dataset.node_buckets),
+            feat_dim=self.cfg.MODEL.clip_feat_dim,
+            num_rel_classes=self.num_rel)
+        return HTTPFrontend(server, host=host, port=port)
+
     # ------------------------------------------------------------------- eval
     def validation(self, save: bool = False, with_scores: bool = False,
                    batch_size: Optional[int] = None) -> dict:
