@@ -34,11 +34,22 @@ def main():
                     help="run the full dual-branch model instead of EVAL_3D_ONLY")
     ap.add_argument("--naive", action="store_true",
                     help="also measure the per-scene dispatch loop")
+    ap.add_argument("--http", action="store_true",
+                    help="also measure through the HTTP frontend (full "
+                         "transport: npz encode + POST + decode)")
     ap.add_argument("--ckpt", type=str, default=None,
                     help="orbax checkpoint directory (optional)")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu for smoke tests; "
+                         "this environment's sitecustomize overrides the "
+                         "JAX_PLATFORMS env var, so it must be set via "
+                         "jax.config after import)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -96,6 +107,62 @@ def main():
         res = bench_server(server, scenes, duration_s=args.duration,
                            clients=args.clients)
     out = {"batched": res}
+
+    if args.http:
+        # same closed-loop load, but through the HTTP transport — measures
+        # the npz encode/POST/decode overhead on top of the micro-batcher
+        import io
+        import threading
+        import urllib.request
+
+        from vlsat_tpu.serving import BatchedServer as _BS, HTTPFrontend
+
+        server2 = _BS(eval_step, params, batch_stats,
+                      max_batch=args.max_batch, deadline_ms=args.deadline_ms)
+        with HTTPFrontend(server2, port=0) as fe:
+            url = f"http://127.0.0.1:{fe.port}/predict"
+
+            def post(s):
+                buf = io.BytesIO()
+                np.savez(buf, **s)
+                req = urllib.request.Request(url, data=buf.getvalue())
+                with urllib.request.urlopen(req, timeout=1800) as resp:
+                    with np.load(io.BytesIO(resp.read()),
+                                 allow_pickle=False) as z:
+                        return {k: z[k] for k in z.files}
+
+            post(scenes[0])  # warm both buckets
+            post(scenes[6])
+            lat, lock = [], threading.Lock()
+            stop_t = time.monotonic() + args.duration
+
+            def client(i):
+                rng2 = np.random.RandomState(100 + i)
+                local = []
+                while time.monotonic() < stop_t:
+                    s = scenes[int(rng2.randint(len(scenes)))]
+                    t0 = time.monotonic()
+                    post(s)
+                    local.append(time.monotonic() - t0)
+                with lock:
+                    lat.extend(local)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(args.clients)]
+            t0 = time.monotonic()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.monotonic() - t0
+            arr = np.asarray(lat) * 1e3
+            out["http"] = {
+                "scenes_per_sec": len(lat) / wall,
+                "p50_latency_ms": float(np.percentile(arr, 50)) if len(arr) else None,
+                "p99_latency_ms": float(np.percentile(arr, 99)) if len(arr) else None,
+                "mean_batch_size": (server2.stats["batch_size_sum"] /
+                                    max(server2.stats["batches"], 1)),
+            }
 
     if args.naive:
         # per-scene dispatch loop (what a no-batching server would do)
