@@ -39,6 +39,12 @@ def main():
                          "transport: npz encode + POST + decode)")
     ap.add_argument("--ckpt", type=str, default=None,
                     help="orbax checkpoint directory (optional)")
+    ap.add_argument("--export-artifact", type=str, default=None,
+                    help="write an AOT serving artifact (jax.export, params "
+                         "baked in) to this directory and exit")
+    ap.add_argument("--artifact", type=str, default=None,
+                    help="serve from a saved AOT artifact instead of the "
+                         "live model (serving_export.py)")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a jax platform (e.g. cpu for smoke tests; "
                          "this environment's sitecustomize overrides the "
@@ -84,7 +90,27 @@ def main():
         if st is not None:
             params, batch_stats = st.params, st.batch_stats
 
-    eval_step = make_eval_step(model, branch_3d_only=not args.full_branch)
+    if args.export_artifact:
+        from vlsat_tpu.serving_export import export_serving_artifact
+
+        manifest = export_serving_artifact(
+            model, params, batch_stats, args.export_artifact,
+            buckets=(12, 16), max_batch=args.max_batch, num_points=128,
+            branch_3d_only=not args.full_branch)
+        print(json.dumps({"exported": args.export_artifact,
+                          "buckets": sorted(manifest["buckets"]),
+                          "outputs": manifest["outputs"]}, indent=2))
+        return
+
+    server_buckets = None
+    if args.artifact:
+        from vlsat_tpu.serving_export import load_serving_artifact
+
+        eval_step = load_serving_artifact(args.artifact)
+        args.max_batch = eval_step.manifest["max_batch"]
+        server_buckets = eval_step.buckets
+    else:
+        eval_step = make_eval_step(model, branch_3d_only=not args.full_branch)
 
     # request pool: 9-16 node scenes at production point count
     rng = np.random.RandomState(0)
@@ -95,9 +121,12 @@ def main():
                        "descriptor": s["descriptor"],
                        "obj_2d_feats": s["obj_2d_feats"]})
 
+    from vlsat_tpu.scene import DEFAULT_NODE_BUCKETS
+
     server = BatchedServer(eval_step, params, batch_stats,
                            max_batch=args.max_batch,
-                           deadline_ms=args.deadline_ms)
+                           deadline_ms=args.deadline_ms,
+                           buckets=server_buckets or DEFAULT_NODE_BUCKETS)
     with server:
         # warm the compile for both buckets the pool can produce (12 and 16)
         # cold compiles of the (max_batch, bucket) programs can take
@@ -118,7 +147,8 @@ def main():
         from vlsat_tpu.serving import BatchedServer as _BS, HTTPFrontend
 
         server2 = _BS(eval_step, params, batch_stats,
-                      max_batch=args.max_batch, deadline_ms=args.deadline_ms)
+                      max_batch=args.max_batch, deadline_ms=args.deadline_ms,
+                      buckets=server_buckets or DEFAULT_NODE_BUCKETS)
         with HTTPFrontend(server2, port=0) as fe:
             url = f"http://127.0.0.1:{fe.port}/predict"
 
@@ -164,6 +194,10 @@ def main():
                                     max(server2.stats["batches"], 1)),
             }
 
+    if args.naive and args.artifact:
+        print("note: --naive skipped with --artifact (the exported program "
+              "is compiled for the padded max_batch shape only)")
+        args.naive = False
     if args.naive:
         # per-scene dispatch loop (what a no-batching server would do)
         from vlsat_tpu.scene import collate, full_edge_index, pad_scene

@@ -14,6 +14,7 @@ negative max.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
@@ -78,6 +79,12 @@ def _segment_reduce(data, seg, num_segments, aggr):
 
 
 def _pallas_max_available(edge_data, num_nodes: int) -> bool:
+    # kill switch for portable jax.export artifacts (serving_export.py):
+    # a multi-platform export must not trace the Mosaic custom call.  Read
+    # at trace time — set it before the first jit of a given shape (jit
+    # caches key on static args, not on this env var).
+    if os.environ.get("VLSAT_DISABLE_PALLAS") == "1":
+        return False
     if jax.default_backend() != "tpu" or jax.device_count() != 1:
         return False
     # a CPU default_device on a TPU host would trace the Mosaic kernel
