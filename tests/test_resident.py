@@ -92,6 +92,47 @@ def test_resident_eval_loader_matches_streaming(pack):
                 np.asarray(stream[k]), np.asarray(res[k]), err_msg=k)
 
 
+def test_resident_sharded_eval_matches_streaming(pack):
+    """ResidentShardedEval (batch-structured split, scenes sharded over an
+    8-device mesh, dispatches carry only a batch id) reproduces the
+    single-device streaming metrics exactly — including the fully-masked
+    padding scenes the tail batch gains."""
+    from vlsat_tpu.data.packed import PackedLoader
+    from vlsat_tpu.data.resident import ResidentShardedEval
+    from vlsat_tpu.eval.engine import evaluate
+    from vlsat_tpu.parallel import make_mesh, replicate
+    from vlsat_tpu.train.step import make_eval_step
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    eval_fn = make_eval_step(model)
+
+    stream = evaluate(eval_fn, params, bstats,
+                      PackedLoader(pack, batch_size=8), verbose=False)
+
+    mesh = make_mesh(jax.devices()[:8])
+    loader = ResidentShardedEval(pack, mesh, batch_size=8)
+    assert loader.mesh_sharded
+    assert len(loader) == 1  # 4 scenes -> one batch padded to 8
+    _, dev = next(iter(loader))
+    assert dev.obj_mask.shape[0] == 8
+    assert not np.asarray(dev.obj_mask)[4:].any()  # padding is masked
+    sharded = evaluate(eval_fn, replicate(params, mesh),
+                       replicate(bstats, mesh), loader, verbose=False)
+    assert stream.keys() == sharded.keys()
+    for k in stream:
+        np.testing.assert_array_equal(
+            np.asarray(stream[k]), np.asarray(sharded[k]), err_msg=k)
+
+    with pytest.raises(ValueError, match="divide"):
+        ResidentShardedEval(pack, mesh, batch_size=3)
+
+
 def test_epoch_permutations_cover_and_drop():
     counts = {8: 7, 16: 5}
     groups = list(epoch_permutations(counts, group=2, epoch=0, seed=1))

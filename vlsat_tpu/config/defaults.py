@@ -44,6 +44,12 @@ DEFAULT_CONFIG = {
     # streaming loaders instead).  Trajectory matches the streaming path
     # fed the same rows (tests/test_resident.py).
     "TRAIN_RESIDENT": "auto",
+    # Same residency for validation: single-device pins the flat split and
+    # gathers batches by index; a mesh stores it batch-structured sharded
+    # P(None, 'data') so eval dispatches are payload-free AND data-parallel
+    # (data/resident.py ResidentShardedEval; falls back to the streaming
+    # shard_eval_batches path when EVAL_BATCH_SIZE % mesh size != 0).
+    "EVAL_RESIDENT": "auto",
     "RESIDENT_HBM_BUDGET": 2 << 30,
     "EVAL_BATCH_SIZE": 1,
     "EVAL": False,

@@ -118,6 +118,74 @@ class ResidentEvalLoader:
                 yield host, dev
 
 
+class ResidentShardedEval:
+    """Device-resident eval split for a data-parallel mesh.
+
+    Multi-chip analog of :class:`ResidentEvalLoader`.  A scene-axis
+    sharding of the flat split would put each CONTIGUOUS eval batch on one
+    device (blockwise shards), serializing the mesh — so the split is
+    stored BATCH-STRUCTURED instead: per bucket, batches are padded to a
+    fixed ``batch_size`` (tail filled with fully-masked scenes, which the
+    metric engine skips) and stacked to ``(num_batches, batch_size, ...)``
+    leaves placed ONCE with ``P(None, 'data')`` — the batch axis is
+    unsharded, scenes within each batch spread over the mesh.  Selecting
+    batch k is then a shard-local slice: every eval dispatch carries only
+    the int32 batch id, no H2D payload and no cross-device gathers.
+
+    Yields (host, device) SceneBatch pairs like ResidentEvalLoader; the
+    host half is the same padded rows off the pack's mmap, so
+    ``evaluate()``'s metric assembly is unchanged.  ``batch_size`` must
+    divide by the mesh axis size (the runner falls back to the streaming
+    ``shard_eval_batches`` path otherwise).
+    """
+
+    mesh_sharded = True  # runner/val paths skip shard_eval_batches
+
+    def __init__(self, packed: PackedScenes, mesh, batch_size: int,
+                 axis: str = "data", variant: int = 0):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vlsat_tpu.scene import pad_batch_scenes
+
+        n_dev = mesh.shape[axis]
+        if batch_size % n_dev:
+            raise ValueError(
+                f"batch_size {batch_size} does not divide over {n_dev} "
+                f"devices on mesh axis {axis!r}")
+        self.packed = packed
+        self.batch_size = batch_size
+        self.variant = variant
+        sharding = NamedSharding(mesh, P(None, axis))
+        self._take = jax.jit(
+            lambda full, k: jax.tree_util.tree_map(lambda a: a[k], full))
+        self._hosts: Dict[int, list] = {}
+        self._stacks: Dict[int, SceneBatch] = {}
+        for b in packed.buckets:
+            c = packed.count(b)
+            hosts = []
+            for start in range(0, c, batch_size):
+                hb = packed.batch(
+                    b, slice(start, min(start + batch_size, c)), variant)
+                hosts.append(pad_batch_scenes(hb, batch_size))
+            self._hosts[b] = hosts
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *hosts)
+            self._stacks[b] = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), stacked)
+
+    def __len__(self) -> int:
+        return sum(len(v) for v in self._hosts.values())
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        for b in sorted(self._hosts):
+            full = self._stacks[b]
+            for k, host in enumerate(self._hosts[b]):
+                yield host, self._take(full, jnp.int32(k))
+
+
 def epoch_permutations(
     counts: Dict[int, int],
     group: int,

@@ -217,31 +217,46 @@ class Runner:
     def _eval_loader(self, packed, bs: int):
         """Validation loader over a packed split.
 
-        Single-device runs pin the split in HBM and gather eval batches by
-        index on device (EVAL_RESIDENT: auto/true/false, mirroring
-        TRAIN_RESIDENT — "auto" enables it when the pack fits
-        RESIDENT_HBM_BUDGET); the resident copy is cached across
-        validation passes.  Meshes keep the streaming PackedLoader (the
-        sharded path pads+shards host batches, parallel/mesh.py).
+        Pins the split in HBM and gathers eval batches by index on device
+        (EVAL_RESIDENT: auto/true/false, mirroring TRAIN_RESIDENT —
+        "auto" enables it when the pack fits RESIDENT_HBM_BUDGET); the
+        resident copy is cached across validation passes.  Under a mesh
+        the split is stored batch-structured and sharded P(None, 'data')
+        (data/resident.py ResidentShardedEval) so dispatches stay
+        payload-free AND data-parallel; the streaming PackedLoader (+
+        shard_eval_batches padding) remains the fallback when residency
+        is off or EVAL_BATCH_SIZE does not divide over the mesh.
         """
         from vlsat_tpu.data.packed import PackedLoader
 
-        if self.mesh is None:
-            mode = str(self.cfg.get("EVAL_RESIDENT", "auto")).lower()
-            on = mode in ("1", "true", "yes")
-            if mode == "auto":
-                from vlsat_tpu.data.resident import split_nbytes
+        mode = str(self.cfg.get("EVAL_RESIDENT", "auto")).lower()
+        on = mode in ("1", "true", "yes")
+        if mode == "auto":
+            from vlsat_tpu.data.resident import split_nbytes
 
-                on = split_nbytes(packed) <= int(
-                    self.cfg.get("RESIDENT_HBM_BUDGET", 2 << 30))
-            if on:
-                from vlsat_tpu.data.resident import (
-                    ResidentEvalLoader, ResidentScenes)
+            on = split_nbytes(packed) <= int(
+                self.cfg.get("RESIDENT_HBM_BUDGET", 2 << 30))
+        if on and self.mesh is not None:
+            n_dev = self.mesh.shape.get("data", 1)
+            if bs % n_dev == 0:
+                from vlsat_tpu.data.resident import ResidentShardedEval
 
                 cached = getattr(self, "_eval_resident", None)
-                if cached is None or cached.packed is not packed:
-                    cached = self._eval_resident = ResidentScenes(packed)
-                return ResidentEvalLoader(cached, bs)
+                if (not isinstance(cached, ResidentShardedEval)
+                        or cached.packed is not packed
+                        or cached.batch_size != bs):
+                    cached = self._eval_resident = ResidentShardedEval(
+                        packed, self.mesh, bs)
+                return cached
+        elif on:
+            from vlsat_tpu.data.resident import (
+                ResidentEvalLoader, ResidentScenes)
+
+            cached = getattr(self, "_eval_resident", None)
+            if not isinstance(cached, ResidentScenes) or \
+                    cached.packed is not packed:
+                cached = self._eval_resident = ResidentScenes(packed)
+            return ResidentEvalLoader(cached, bs)
         return PackedLoader(packed, batch_size=bs)
 
     # ------------------------------------------------------------------ train
@@ -267,7 +282,7 @@ class Runner:
                 vl = SceneLoader(
                     self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
                     shuffle=False, buckets=cfg.dataset.node_buckets)
-            if self.mesh is not None:
+            if self.mesh is not None and not getattr(vl, "mesh_sharded", False):
                 # same data-parallel eval path as validation(): pad ragged
                 # batches with masked scenes and shard over the mesh
                 from vlsat_tpu.parallel import shard_eval_batches
@@ -475,9 +490,10 @@ class Runner:
         else:
             loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
                                  buckets=self.cfg.dataset.node_buckets)
-        if self.mesh is not None:
+        if self.mesh is not None and not getattr(loader, "mesh_sharded", False):
             # data-parallel eval: pad ragged batches with masked scenes
             # (skipped by the engine) and shard over the mesh
+            # (ResidentShardedEval batches are already mesh-sharded)
             from vlsat_tpu.parallel import shard_eval_batches
 
             loader = shard_eval_batches(loader, self.mesh)
