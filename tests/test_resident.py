@@ -92,6 +92,83 @@ def test_resident_eval_loader_matches_streaming(pack):
                 np.asarray(stream[k]), np.asarray(res[k]), err_msg=k)
 
 
+def test_resident_grouped_eval_matches_per_batch(pack):
+    """ResidentGroupedEval (K batches scanned per dispatch, one packed
+    fetch per group) == ResidentEvalLoader metrics exactly — including a
+    trailing partial batch (padded to batch_size with masked scenes) and a
+    trailing partial GROUP (scan rows repeat the last batch but are never
+    assembled)."""
+    from vlsat_tpu.data.resident import (
+        ResidentEvalLoader, ResidentGroupedEval)
+    from vlsat_tpu.eval.engine import evaluate
+    from vlsat_tpu.train.step import make_eval_step
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    eval_fn = make_eval_step(model)
+    resident = ResidentScenes(pack)
+
+    # bs=3: 4 scenes -> batches of 3 and 1 (partial tail batch)
+    # group=2: exactly one group of 2 batches
+    # group=3: partial tail group (2 real batches + 1 repeated scan row)
+    base = evaluate(eval_fn, params, bstats,
+                    ResidentEvalLoader(resident, 3), verbose=False)
+    for g in (1, 2, 3):
+        loader = ResidentGroupedEval(resident, 3, group=g)
+        assert loader.grouped and len(loader) == 2
+        got = evaluate(eval_fn, params, bstats, loader, verbose=False)
+        assert base.keys() == got.keys()
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(got[k]), err_msg=f"g={g} {k}")
+
+    with pytest.raises(ValueError, match="group"):
+        ResidentGroupedEval(resident, 3, group=0)
+
+    # GT-slot cap: pack-backed loaders ship (B, E, max_gt)-sliced value/
+    # pred matrices (here max_gt=1 vs R=26 — maximal slicing); a plain
+    # batch list has no max_gt and ships full R.  Metrics must match.
+    assert pack.max_gt == 1
+    b0 = pack.buckets[0]
+    raw = evaluate(eval_fn, params, bstats,
+                   [pack.batch(b0, slice(0, 3)), pack.batch(b0, slice(3, 4))],
+                   verbose=False)
+    assert base.keys() == raw.keys()
+    for k in base:
+        np.testing.assert_array_equal(
+            np.asarray(base[k]), np.asarray(raw[k]), err_msg=f"uncapped {k}")
+
+    # a loader that under-declares max_gt must be caught, not mis-scored
+    class _Lying(list):
+        max_gt = 1
+
+    bad = pack.batch(b0, slice(0, 3))
+    gr = np.array(bad.gt_rels)
+    em = np.asarray(bad.edge_mask)
+    s, e = np.argwhere(em)[0]
+    gr[s, e, :2] = 1.0  # two GT relations on one valid edge
+    bad = bad.replace(gt_rels=gr)
+    with pytest.raises(ValueError, match="max_gt"):
+        evaluate(eval_fn, params, bstats, _Lying([bad]), verbose=False)
+
+    # scene_recall (in21k protocol) rides the same grouped program
+    sr_base = evaluate(eval_fn, params, bstats,
+                       ResidentEvalLoader(resident, 3), verbose=False,
+                       scene_recall=True)
+    sr_got = evaluate(eval_fn, params, bstats,
+                      ResidentGroupedEval(resident, 3, group=2),
+                      verbose=False, scene_recall=True)
+    assert sr_base.keys() == sr_got.keys()
+    for k in sr_base:
+        np.testing.assert_array_equal(
+            np.asarray(sr_base[k]), np.asarray(sr_got[k]), err_msg=k)
+
+
 def test_resident_sharded_eval_matches_streaming(pack):
     """ResidentShardedEval (batch-structured split, scenes sharded over an
     8-device mesh, dispatches carry only a batch id) reproduces the

@@ -50,6 +50,13 @@ DEFAULT_CONFIG = {
     # (data/resident.py ResidentShardedEval; falls back to the streaming
     # shard_eval_batches path when EVAL_BATCH_SIZE % mesh size != 0).
     "EVAL_RESIDENT": "auto",
+    # eval batches scanned per dispatch on the single-device resident path
+    # (data/resident.py ResidentGroupedEval): one packed output fetch per
+    # group instead of per batch.  1 disables grouping; 4 measured best
+    # through a remote-TPU tunnel once the max_gt payload cut landed
+    # (8/16 regress: the fetch burst outgrows the latency it saves —
+    # PERFORMANCE.md round 3).
+    "EVAL_GROUP": 4,
     "RESIDENT_HBM_BUDGET": 2 << 30,
     "EVAL_BATCH_SIZE": 1,
     "EVAL": False,

@@ -175,6 +175,28 @@ class PackedScenes:
     def __len__(self) -> int:
         return sum(m["count"] for m in self.manifest["buckets"].values())
 
+    @property
+    def max_gt(self) -> int:
+        """Largest per-edge GT-relation count across the split (every
+        bucket and variant; >= 1).  Static for a pack, so the eval engine
+        can slice its packed (B, E, R) rank/pred matrices to
+        (B, E, max_gt) on device before the D2H fetch — per edge only the
+        first max(#GT, 1) sorted slots are ever read, and 3DSSG edges
+        carry far fewer GT relations than R=26 slots (eval/engine.py
+        ``_make_pack``).  Padded edge rows have all-zero gt_rels and
+        cannot raise the max."""
+        m = getattr(self, "_max_gt", None)
+        if m is None:
+            m = 1
+            for v in range(self.variants):
+                for b in self.buckets:
+                    gr = self.array(b, "gt_rels", v)
+                    if gr.size:
+                        cnt = (np.asarray(gr) > 0).sum(axis=-1)
+                        m = max(m, int(cnt.max()))
+            self._max_gt = m
+        return m
+
     def fields(self, bucket: int) -> List[str]:
         return self.manifest["buckets"][str(bucket)]["fields"]
 
@@ -229,6 +251,11 @@ class PackedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+
+    @property
+    def max_gt(self) -> int:
+        """Eval-engine GT-slot cap (see PackedScenes.max_gt)."""
+        return self.packed.max_gt
 
     def __len__(self) -> int:
         n = 0

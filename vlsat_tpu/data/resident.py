@@ -97,6 +97,11 @@ class ResidentEvalLoader:
         self.resident = resident
         self.batch_size = batch_size
 
+    @property
+    def max_gt(self) -> int:
+        """Eval-engine GT-slot cap (see PackedScenes.max_gt)."""
+        return self.resident.packed.max_gt
+
     def __len__(self) -> int:
         bs = self.batch_size
         return sum(-(-self.resident.count(b) // bs)
@@ -116,6 +121,74 @@ class ResidentEvalLoader:
                 host = self.resident.host_batch(b, slice(start, stop))
                 dev = gather(full, jnp.arange(start, stop, dtype=jnp.int32))
                 yield host, dev
+
+
+class ResidentGroupedEval:
+    """K eval batches per dispatch over the resident split.
+
+    Through a remote-TPU tunnel every fused eval dispatch's OUTPUT fetch
+    pays a full link round trip (~30 ms here) on top of ~1.5 MB of packed
+    rank bytes per 32-scene batch — with per-batch dispatches the link
+    LATENCY, not bandwidth, bounds the metric engine (PERFORMANCE.md
+    round 3).  This loader scans K batches inside ONE jitted dispatch
+    (eval/engine.py ``_get_fused_grouped``): the device gathers each
+    minibatch by index from the resident bucket, stacks the packed rank
+    vectors to (K, n), and the host fetches once per K batches.
+
+    Yields ``(hosts, full, idx)`` items (``grouped = True`` tells
+    ``evaluate()`` to take this path): ``hosts`` is a list of <= K host
+    SceneBatches off the pack's mmap, each padded to ``batch_size`` with
+    fully-masked scenes; ``full`` is the bucket's resident device batch;
+    ``idx`` is (K, batch_size) int32 scene rows.  Tail rows clamp to the
+    last scene and tail groups repeat the last batch — their device
+    outputs are computed but never assembled (eval mode has no cross-scene
+    coupling: BN uses running stats, attention is scene-masked), so
+    metrics match the per-batch loaders exactly (tests/test_resident.py).
+
+    Batch boundaries and iteration order are identical to
+    :class:`ResidentEvalLoader` at the same ``batch_size``.
+    """
+
+    grouped = True
+
+    def __init__(self, resident: ResidentScenes, batch_size: int,
+                 group: int = 8):
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
+        self.resident = resident
+        self.batch_size = batch_size
+        self.group = int(group)
+
+    @property
+    def max_gt(self) -> int:
+        """Eval-engine GT-slot cap (see PackedScenes.max_gt)."""
+        return self.resident.packed.max_gt
+
+    def __len__(self) -> int:
+        bs = self.batch_size
+        return sum(-(-self.resident.count(b) // bs)
+                   for b in self.resident.buckets)
+
+    def __iter__(self):
+        from vlsat_tpu.scene import pad_batch_scenes
+
+        bs, k = self.batch_size, self.group
+        for b in self.resident.buckets:
+            c = self.resident.count(b)
+            full = self.resident.full_batch(b)
+            starts = list(range(0, c, bs))
+            for g0 in range(0, len(starts), k):
+                chunk = starts[g0:g0 + k]
+                hosts = [pad_batch_scenes(
+                    self.resident.host_batch(b, slice(s, min(s + bs, c))), bs)
+                    for s in chunk]
+                idx = np.stack([
+                    np.minimum(np.arange(s, s + bs), c - 1).astype(np.int32)
+                    for s in chunk])
+                if len(chunk) < k:  # fixed (K, B) shape: one compile
+                    idx = np.concatenate(
+                        [idx, np.repeat(idx[-1:], k - len(chunk), axis=0)])
+                yield hosts, full, idx
 
 
 class ResidentShardedEval:
@@ -173,6 +246,11 @@ class ResidentShardedEval:
                 lambda *xs: np.stack(xs), *hosts)
             self._stacks[b] = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sharding), stacked)
+
+    @property
+    def max_gt(self) -> int:
+        """Eval-engine GT-slot cap (see PackedScenes.max_gt)."""
+        return self.packed.max_gt
 
     def __len__(self) -> int:
         return sum(len(v) for v in self._hosts.values())

@@ -56,13 +56,22 @@ SR_VARIANTS = (("gc", 1), ("ngc", 100))
 
 def _metric_parts(out, batch: SceneBatch, single_label: bool,
                   with_probs: bool, with_raw: bool,
-                  scene_recall: bool = False) -> Dict[str, jnp.ndarray]:
+                  scene_recall: bool = False,
+                  gt_cap: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """Rank tensors for a whole batch (traced into the fused eval jit).
 
     ``single_label`` quirk parity: predicate ranks consume the RAW
     log-probs (the reference's process_val passes them as-is, so the
     0.5-confidence rule compares against log-space values) while triplet
     confidences use exp(log-probs) (eva_utils_acc.py:146-147).
+
+    ``gt_cap``: static upper bound on per-edge GT-relation counts (a
+    loader's ``max_gt``, known from the pack).  The discounted value and
+    sorted-pred matrices are ascending-sorted with meaningful entries only
+    in each edge's first max(#GT, 1) slots, so slicing the last axis to
+    ``gt_cap`` is exact — and cuts the dominant share of the packed D2H
+    payload (R=26 slots shipped vs typically <= a handful used).
+    ``None`` ships the full R columns.
     """
     parts: Dict[str, jnp.ndarray] = {}
     tags = ("3d", "2d") if out.get("obj_logits_2d") is not None else ("3d",)
@@ -86,10 +95,13 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
         )(ol, batch.gt_class, rc_trip, batch.edge_index)
         # multi-GT discounting ON DEVICE: ship the already-discounted value
         # matrices instead of the raw rank parts — the host keeps only a
-        # boolean select (the per-edge int64 sorts were ~40% of its tail)
-        parts[f"prv_{tag}"] = discounted_ranks_device(pr, png, gt_rels_d)
-        parts[f"trv_{tag}"] = discounted_ranks_device(tr, tng, gt_rels_d)
-    parts["preds"] = sorted_gt_preds_device(gt_rels_d)
+        # boolean select (the per-edge int64 sorts were ~40% of its tail).
+        # [..., :gt_cap] with gt_cap=None is the full slice.
+        parts[f"prv_{tag}"] = discounted_ranks_device(
+            pr, png, gt_rels_d)[..., :gt_cap]
+        parts[f"trv_{tag}"] = discounted_ranks_device(
+            tr, tng, gt_rels_d)[..., :gt_cap]
+    parts["preds"] = sorted_gt_preds_device(gt_rels_d)[..., :gt_cap]
     if with_probs:
         parts["probs_3d"] = jax.nn.softmax(
             out["obj_logits_3d"].astype(jnp.float32), axis=-1)
@@ -129,7 +141,8 @@ _FUSED_CACHE: Dict[tuple, tuple] = {}
 
 
 def _get_fused(eval_step, single_label: bool, with_probs: bool,
-               with_raw: bool, scene_recall: bool = False):
+               with_raw: bool, scene_recall: bool = False,
+               gt_cap: Optional[int] = None):
     """Fused (forward + ranks) jit returning THREE flat arrays.
 
     On a remote-TPU tunnel each device->host fetch pays a full round trip
@@ -143,19 +156,30 @@ def _get_fused(eval_step, single_label: bool, with_probs: bool,
     per batch, overlapped via copy_to_host_async with the next batch's
     dispatch (see evaluate()).
     """
-    key = (id(eval_step), single_label, with_probs, with_raw, scene_recall)
+    key = (id(eval_step), single_label, with_probs, with_raw, scene_recall,
+           gt_cap)
     hit = _FUSED_CACHE.get(key)
     if hit is not None:
         return hit[0]
 
+    fused = jax.jit(_make_pack(eval_step, single_label, with_probs,
+                               with_raw, scene_recall, gt_cap))
+    _FUSED_CACHE[key] = (fused, eval_step)
+    return fused
+
+
+def _make_pack(eval_step, single_label: bool, with_probs: bool,
+               with_raw: bool, scene_recall: bool,
+               gt_cap: Optional[int] = None):
+    """Traceable (params, batch_stats, batch) -> (uint8, int32, f32) body
+    shared by the per-batch fused jit and the K-batch grouped scan."""
     sr_keys = [f"{n}_{t2}" for n, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
 
-    @jax.jit
-    def fused(params, batch_stats, batch):
+    def pack(params, batch_stats, batch):
         out = eval_step(params, batch_stats, batch)
         parts = _metric_parts(out, batch, single_label=single_label,
                               with_probs=with_probs, with_raw=with_raw,
-                              scene_recall=scene_recall)
+                              scene_recall=scene_recall, gt_cap=gt_cap)
         tags = ("3d", "2d") if "obr_2d" in parts else ("3d",)
         u8 = [parts[f"{n}_{t}"].astype(jnp.uint8).reshape(-1)
               for t in tags for n in _INT_PARTS]
@@ -172,19 +196,52 @@ def _get_fused(eval_step, single_label: bool, with_probs: bool,
                   else jnp.zeros((0,), jnp.float32))
         return jnp.concatenate(u8), i32s, floats
 
-    _FUSED_CACHE[key] = (fused, eval_step)
-    return fused
+    return pack
+
+
+def _get_fused_grouped(eval_step, single_label: bool, with_probs: bool,
+                       with_raw: bool, scene_recall: bool = False,
+                       gt_cap: Optional[int] = None):
+    """K-batch fused eval: one dispatch scans K minibatches gathered by
+    index from a device-resident bucket and stacks their packed outputs to
+    (K, n) — ONE output fetch per K batches.  Through a remote-TPU tunnel
+    the per-batch engine is bounded by the per-fetch link round trip
+    (~30 ms); grouping amortizes it K-fold (data/resident.py
+    ``ResidentGroupedEval``)."""
+    key = ("grouped", id(eval_step), single_label, with_probs, with_raw,
+           scene_recall, gt_cap)
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+
+    pack = _make_pack(eval_step, single_label, with_probs, with_raw,
+                      scene_recall, gt_cap)
+
+    @jax.jit
+    def fused_grouped(params, batch_stats, full, idx):
+        def body(carry, rows):
+            dev_in = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, rows, axis=0), full)
+            return carry, pack(params, batch_stats, dev_in)
+
+        _, outs = jax.lax.scan(body, 0, idx)
+        return outs
+
+    _FUSED_CACHE[key] = (fused_grouped, eval_step)
+    return fused_grouped
 
 
 def _unpack_parts(ints: np.ndarray, i32s: np.ndarray, floats: np.ndarray,
                   batch: SceneBatch, with_probs: bool, with_raw: bool,
-                  scene_recall: bool = False) -> Dict[str, np.ndarray]:
+                  scene_recall: bool = False,
+                  gt_cap: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Invert the fused packing: flat (uint8, i32, f32) -> named arrays."""
     b, n = batch.gt_class.shape
     e, r = batch.num_edges, batch.gt_rels.shape[-1]
-    shapes = {"obr": (b, n), "prv": (b, e, r), "trv": (b, e, r)}
+    rc = min(gt_cap, r) if gt_cap else r  # GT-slot columns shipped
+    shapes = {"obr": (b, n), "prv": (b, e, rc), "trv": (b, e, rc)}
     per_tag = sum(int(np.prod(s)) for s in shapes.values())
-    preds_size = b * e * r
+    preds_size = b * e * rc
     sr_keys = [f"{n2}_{t2}" for n2, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
     sr_size = (b * 100 * len(sr_keys)) if scene_recall else 0
     tags = (("3d", "2d")
@@ -198,7 +255,7 @@ def _unpack_parts(ints: np.ndarray, i32s: np.ndarray, floats: np.ndarray,
                 ints[off:off + sz].astype(np.int32).reshape(shapes[name]))
             off += sz
     parts["preds"] = ints[off:off + preds_size].astype(np.int32).reshape(
-        (b, e, r))
+        (b, e, rc))
     off += preds_size
     if scene_recall:
         for k in sr_keys:
@@ -278,9 +335,16 @@ def evaluate(
         t = prog_tot[key]
         return prog_hits[key] * 100.0 / t if t else 0.0
 
+    # GT-slot cap: loaders backed by a pack know the split's max per-edge
+    # GT count (PackedScenes.max_gt); slicing the (B, E, R) value/pred
+    # matrices to it on device cuts most of the packed D2H payload.
+    # Loaders without the attribute (plain batch lists) ship full R.
+    gt_cap = getattr(loader, "max_gt", None)
+    if gt_cap is not None:
+        gt_cap = max(1, int(gt_cap))
     fused = _get_fused(eval_step, single_label=not multi_rel,
                        with_probs=with_scores, with_raw=with_scores,
-                       scene_recall=scene_recall)
+                       scene_recall=scene_recall, gt_cap=gt_cap)
 
     state = {"has_2d": True}
 
@@ -304,7 +368,16 @@ def evaluate(
         off = r - 1                                    # u8 encode offset
         cnt = (gt_f > 0).sum(axis=1)
         counts = np.maximum(cnt, 1)
-        valid = np.arange(r)[None, :] < counts[:, None]
+        # rc: GT-slot columns the device actually shipped (<= R when the
+        # loader declared a max_gt cap); exactness requires every edge's
+        # GT count to fit — guard against a loader misdeclaring its pack
+        rc = p["prv_3d"].shape[-1]
+        if rc < r and cnt.size and int(cnt.max()) > rc:
+            raise ValueError(
+                f"loader declared max_gt={rc} but a batch edge carries "
+                f"{int(cnt.max())} GT relations — stale or wrong pack "
+                "metadata (PackedScenes.max_gt)")
+        valid = np.arange(rc)[None, :] < counts[:, None]
 
         def _sel(key: str) -> np.ndarray:
             return (p[key][edge_mask].astype(np.int64) - off)[valid]
@@ -384,10 +457,12 @@ def evaluate(
     # device->host fetches move to a small pool — each fetch BLOCKS for a
     # full tunnel round trip (~30-40 ms) even with copy_to_host_async, and
     # on the main thread that latency serialized with everything else
-    # (PERFORMANCE.md round 3; grouping K batches' outputs into one
-    # device-concatenated fetch measured SLOWER — the big synchronous
-    # transfer beat the latency it saved).  Assembly drains in FIFO order,
-    # preserving the reference's scene accumulation order exactly.
+    # (PERFORMANCE.md round 3; on the STREAMING path, concatenating K
+    # batches' outputs on device measured slower — per-batch H2D plus the
+    # concat barrier beat the latency saved; the RESIDENT grouped loader
+    # has no per-batch H2D, which is what makes its K-batch scan pay).
+    # Assembly drains in FIFO order, preserving the reference's scene
+    # accumulation order exactly.
     def _fetch(dev) -> tuple:
         # a fetch of even a 0-size device array pays a full tunnel round
         # trip (~7 ms here); shape is local metadata, so skip those
@@ -397,30 +472,54 @@ def evaluate(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    depth = 4
+    grouped = bool(getattr(loader, "grouped", False))
+    if grouped:
+        fused_grouped = _get_fused_grouped(
+            eval_step, single_label=not multi_rel, with_probs=with_scores,
+            with_raw=with_scores, scene_recall=scene_recall, gt_cap=gt_cap)
+
+    def _drain(fut, pb) -> None:
+        arrs = fut.result()
+        if isinstance(pb, list):  # grouped: arrays carry a leading K axis
+            for j, host in enumerate(pb):
+                _assemble(_unpack_parts(arrs[0][j], arrs[1][j], arrs[2][j],
+                                        host, with_scores, with_scores,
+                                        scene_recall, gt_cap=gt_cap), host)
+        else:
+            _assemble(_unpack_parts(*arrs, pb, with_scores, with_scores,
+                                    scene_recall, gt_cap=gt_cap), pb)
+
+    depth = 2 if grouped else 4  # a grouped entry is K batches of backlog
     with ThreadPoolExecutor(max_workers=2) as pool:
         pending = deque()
         for item in loader:
-            # (host, device) pairs (data/resident.py ResidentEvalLoader):
-            # dispatch on the device half — no per-batch H2D payload —
-            # and assemble from the host half (mmap views; reading fields
-            # off device arrays would pay a D2H round trip per leaf)
-            batch, dev_in = item if isinstance(item, tuple) else (item, item)
-            dev = fused(params, batch_stats, dev_in)
+            if grouped:
+                # (hosts, full, idx) groups (data/resident.py
+                # ResidentGroupedEval): ONE dispatch scans the K index-
+                # gathered minibatches; tail-padded scan rows (idx rows
+                # beyond len(hosts)) are computed but never assembled
+                hosts, full, idx = item
+                dev = fused_grouped(params, batch_stats, full,
+                                    jnp.asarray(idx))
+                payload = hosts
+            else:
+                # (host, device) pairs (data/resident.py
+                # ResidentEvalLoader): dispatch on the device half — no
+                # per-batch H2D payload — and assemble from the host half
+                # (mmap views; reading fields off device arrays would pay
+                # a D2H round trip per leaf)
+                batch, dev_in = (item if isinstance(item, tuple)
+                                 else (item, item))
+                dev = fused(params, batch_stats, dev_in)
+                payload = batch
             for d in dev:
                 if d.size:
                     d.copy_to_host_async()
-            pending.append((pool.submit(_fetch, dev), batch))
+            pending.append((pool.submit(_fetch, dev), payload))
             while len(pending) > depth:
-                fut, pb = pending.popleft()
-                pi, ps, pf = fut.result()
-                _assemble(_unpack_parts(pi, ps, pf, pb, with_scores,
-                                        with_scores, scene_recall), pb)
+                _drain(*pending.popleft())
         while pending:
-            fut, pb = pending.popleft()
-            pi, ps, pf = fut.result()
-            _assemble(_unpack_parts(pi, ps, pf, pb, with_scores,
-                                    with_scores, scene_recall), pb)
+            _drain(*pending.popleft())
     has_2d = state["has_2d"]
 
     arr = {k: np.asarray(v) for k, v in acc.items()}

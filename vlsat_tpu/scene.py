@@ -184,16 +184,22 @@ def pad_batch_scenes(batch: SceneBatch, total: int) -> SceneBatch:
     k = total - b
 
     def pad(x, fill=0):
-        # x.dtype works on np and jax arrays alike — no device->host copy
+        # x.dtype works on np and jax arrays alike — no device->host copy.
+        # NumPy inputs stay NumPy: padded HOST halves feed metric assembly
+        # (np.asarray on a device leaf would pay a D2H round trip each)
         extra = np.full((k, *x.shape[1:]), fill, dtype=x.dtype)
+        if isinstance(x, np.ndarray):
+            return np.concatenate([x, extra], axis=0)
         return jnp.concatenate([jnp.asarray(x), jnp.asarray(extra)], axis=0)
 
     desc = np.tile(_SAFE_DESCRIPTOR, (k, batch.num_nodes, 1))
+    cat = (np.concatenate if isinstance(batch.descriptor, np.ndarray)
+           else lambda xs, axis: jnp.concatenate(
+               [jnp.asarray(x) for x in xs], axis=axis))
     return SceneBatch(
         obj_points=pad(batch.obj_points),
         obj_mask=pad(batch.obj_mask, False),
-        descriptor=jnp.concatenate(
-            [jnp.asarray(batch.descriptor), jnp.asarray(desc)], axis=0),
+        descriptor=cat([batch.descriptor, desc], axis=0),
         obj_2d_feats=pad(batch.obj_2d_feats),
         gt_class=pad(batch.gt_class),
         edge_index=pad(batch.edge_index),

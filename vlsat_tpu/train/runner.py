@@ -250,12 +250,19 @@ class Runner:
                 return cached
         elif on:
             from vlsat_tpu.data.resident import (
-                ResidentEvalLoader, ResidentScenes)
+                ResidentEvalLoader, ResidentGroupedEval, ResidentScenes)
 
             cached = getattr(self, "_eval_resident", None)
             if not isinstance(cached, ResidentScenes) or \
                     cached.packed is not packed:
                 cached = self._eval_resident = ResidentScenes(packed)
+            group = int(self.cfg.get("EVAL_GROUP", 4))
+            if group > 1:
+                # K batches per dispatch: one output fetch per group
+                # amortizes the per-dispatch link round trip (+67% e2e
+                # through this tunnel at K=4 with the max_gt payload cut;
+                # metrics bit-identical — tests/test_resident.py)
+                return ResidentGroupedEval(cached, bs, group=group)
             return ResidentEvalLoader(cached, bs)
         return PackedLoader(packed, batch_size=bs)
 
