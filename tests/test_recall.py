@@ -186,3 +186,46 @@ def test_batched_scene_hits_matches_host_path():
                                        err_msg=f"{mode}/{te} scene {s}")
             np.testing.assert_allclose(got_c, want_c,
                                        err_msg=f"{mode}/{te} scene {s}")
+
+
+def test_staircase_matches_pairtable():
+    """batched_per_edge_topk (factored staircase candidates, no pair-
+    product table) == the legacy per-scene pairtable method: identical
+    candidate confidences AND cube indices (both compute (s*o)*r with the
+    same parenthesization, so ties are bit-equal; random f32 inputs)."""
+    from vlsat_tpu.eval.recall import batched_per_edge_topk, per_edge_topk
+
+    rng = np.random.RandomState(5)
+    b, n, c, nrel = 4, 8, 40, 9
+    e = n * (n - 1)
+    logits = rng.randn(b, n, c).astype(np.float32) * 3
+    rel = rng.rand(b, e, nrel).astype(np.float32)
+    ei = np.broadcast_to(full_edge_index(n), (b, e, 2)).astype(np.int32)
+
+    for te in (1, 7, 100):
+        conf_s, idx_s = batched_per_edge_topk(logits, rel, ei, topk_each=te)
+        for s in range(b):
+            conf_p, idx_p = per_edge_topk(logits[s], rel[s], ei[s],
+                                          topk_each=te)
+            np.testing.assert_array_equal(
+                np.asarray(conf_s[s]), np.asarray(conf_p),
+                err_msg=f"conf te={te} scene {s}")
+            np.testing.assert_array_equal(
+                np.asarray(idx_s[s]), np.asarray(idx_p),
+                err_msg=f"idx te={te} scene {s}")
+
+    # full pipeline: both methods through batched_scene_hits
+    em = np.ones((b, e), bool)
+    gt_class = rng.randint(0, c, (b, n)).astype(np.int32)
+    gt_rels = (rng.rand(b, e, nrel) < 0.2).astype(np.float32)
+    for te in (1, 100):
+        for m in ("staircase", "pairtable"):
+            out = batched_scene_hits(
+                logits, rel, ei, em, gt_class, gt_rels,
+                topk_each=te, kmax=50, mode="triplet", method=m)
+            if m == "staircase":
+                want = [np.asarray(o) for o in out]
+            else:
+                for w, g in zip(want, out):
+                    np.testing.assert_array_equal(w, np.asarray(g),
+                                                  err_msg=f"te={te}")

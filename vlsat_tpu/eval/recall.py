@@ -54,7 +54,86 @@ def per_edge_topk(
     return conf, cube_idx
 
 
-@partial(jax.jit, static_argnames=("topk_each", "kmax", "mode"))
+def _staircase3(t: int, ka: int, kc: int):
+    """Static triples (a, b, c) of DESCENDING-sorted positions that can
+    hold a top-``t`` value of a product of three descending-sorted lists:
+    (a+1)(b+1)(c+1) <= t (any deeper triple is dominated by >= t triples).
+    ``ka`` bounds the two object-class axes, ``kc`` the predicate axis.
+    For t=100, R=26: 1,335 of C*C*R = 665,600 cube cells."""
+    tr = [(a, b, c)
+          for a in range(min(ka, t))
+          for b in range(min(ka, t // (a + 1)))
+          for c in range(min(kc, t // ((a + 1) * (b + 1))))]
+    arr = np.asarray(tr, dtype=np.int32)
+    return jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]), jnp.asarray(arr[:, 2])
+
+
+def _staircase_candidates(
+    obj_logits: jnp.ndarray,   # (B, N, C)
+    rel_probs: jnp.ndarray,    # (B, E, R)
+    edge_index: jnp.ndarray,   # (B, E, 2)
+    t: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge staircase candidates (conf, cube idx), each (B, E, S):
+    a superset of every edge's top-``t`` triplet candidates, S ~ 13t.
+
+    No (E, C*C) pair table is formed (per-NODE top-t sorts replace the
+    E-row 25,600-wide top-ks), endpoint rows move on the MXU (one-hot
+    matmul — class ids < 2^24 ride exactly as f32), and the staircase
+    expansion gathers use STATIC index vectors on the minor axis, which
+    XLA compiles to cheap strided copies.  Dynamic minor-axis gathers are
+    deliberately absent: at (B, E, t) scale each lowers to an
+    element-index fusion measured at ~8 ms apiece on TPU — they, not the
+    top_k sorts, were what made the original per-scene path cost ~79 ms
+    per 32-scene batch (xplane, PERFORMANCE.md round 3).
+
+    Confidences are the same f32 expression ``(s*o)*r`` as
+    ``per_edge_topk``'s, so candidate values are bit-identical."""
+    from vlsat_tpu.ops.graph import gather_edge_endpoints
+
+    probs = jax.nn.softmax(obj_logits.astype(jnp.float32), axis=-1)
+    r = rel_probs.astype(jnp.float32)
+    c = probs.shape[-1]
+    nrel = r.shape[-1]
+    ka = min(c, t)
+    kc = min(nrel, t)
+    a_pos, b_pos, c_pos = _staircase3(t, ka, kc)
+
+    nv, ni = jax.lax.top_k(probs, ka)                       # (B, N, ka) desc
+    rv, ri = jax.lax.top_k(r, kc)                           # (B, E, kc) desc
+    sv, ov = gather_edge_endpoints(nv, edge_index)          # (B, E, ka)
+    sif, oif = gather_edge_endpoints(ni.astype(jnp.float32), edge_index)
+    si = sif.astype(jnp.int32)
+    oi = oif.astype(jnp.int32)
+
+    conf = (sv[..., a_pos] * ov[..., b_pos]) * rv[..., c_pos]   # (B, E, S)
+    cube = (si[..., a_pos] * c + oi[..., b_pos]) * nrel + ri[..., c_pos]
+    return conf, cube
+
+
+@partial(jax.jit, static_argnames=("topk_each",))
+def batched_per_edge_topk(
+    obj_logits: jnp.ndarray,   # (B, N, C)
+    rel_probs: jnp.ndarray,    # (B, E, R)
+    edge_index: jnp.ndarray,   # (B, E, 2)
+    topk_each: int = 100,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``per_edge_topk`` for a whole batch via the staircase candidates
+    (``_staircase_candidates``) + one per-edge top_k.  Exact same
+    (conf, cube idx) contract; used when the per-edge cap actually binds
+    (kmax > topk_each > 1 — NOT the shipped in21k combos, which take the
+    capless global merge inside ``batched_scene_hits``)."""
+    c = obj_logits.shape[-1]
+    nrel = rel_probs.shape[-1]
+    t = min(topk_each, c * c * nrel)
+    conf_all, cube_all = _staircase_candidates(
+        obj_logits, rel_probs, edge_index, t)
+    conf, pos = jax.lax.top_k(conf_all, t)                     # (B, E, t)
+    cube_idx = jnp.take_along_axis(cube_all, pos, axis=-1)
+    return conf, cube_idx
+
+
+@partial(jax.jit, static_argnames=("topk_each", "kmax", "mode", "method"))
 def batched_scene_hits(
     obj_logits: jnp.ndarray,   # (B, N, C)
     rel_probs: jnp.ndarray,    # (B, E, R)
@@ -65,6 +144,7 @@ def batched_scene_hits(
     topk_each: int = 100,
     kmax: int = 100,
     mode: str = "triplet",
+    method: str = "staircase",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scene-global ranked candidates WITH their GT-hit flags, for a whole
     batch in one traced program: (edge ids (B, kmax) int32,
@@ -86,14 +166,32 @@ def batched_scene_hits(
     """
     c = obj_logits.shape[-1]
     nrel = rel_probs.shape[-1]
-    if mode == "triplet":
+    if mode == "triplet" and method == "staircase":
+        # factored candidates: no pair-product table, no per-scene map
+        # (identical f32 confidences to the pairtable method; equality on
+        # random inputs is gated in tests/test_recall.py)
+        t = min(topk_each, c * c * nrel)
+        if kmax <= topk_each or t == 1:
+            # the per-edge top-topk_each cap cannot bind (an edge may
+            # contribute at most kmax <= topk_each global candidates; at
+            # t=1 the staircase IS the per-edge top-1), so merge the raw
+            # staircase sets globally — no per-edge top_k, and crucially
+            # no (B, E, t) dynamic recovery gathers (see
+            # _staircase_candidates).  Both in21k combos (gc topk_each=1,
+            # ngc topk_each=100, kmax=100) take this path.
+            conf, idx = _staircase_candidates(
+                obj_logits, rel_probs, edge_index, t)
+        else:
+            conf, idx = batched_per_edge_topk(
+                obj_logits, rel_probs, edge_index, topk_each=topk_each)
+    elif mode == "triplet":
         def per_scene(args):
             ol, r, ei = args
             return per_edge_topk(ol, r, ei, topk_each=topk_each)
 
-        # lax.map over scenes: per_edge_topk materializes the (E, C*C)
-        # pair-product table (~25 MB at production shape) — per-scene
-        # sequencing bounds the temporary at one scene's worth
+        # legacy "pairtable" method, kept for cross-validation: lax.map
+        # over scenes bounds the (E, C*C) pair-product temporary (~25 MB
+        # at production shape) at one scene's worth
         conf, idx = jax.lax.map(per_scene, (obj_logits, rel_probs, edge_index))
     elif mode == "rels":
         k = min(topk_each, nrel)
