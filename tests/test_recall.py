@@ -218,7 +218,9 @@ def test_staircase_matches_pairtable():
     em = np.ones((b, e), bool)
     gt_class = rng.randint(0, c, (b, n)).astype(np.int32)
     gt_rels = (rng.rand(b, e, nrel) < 0.2).astype(np.float32)
-    for te in (1, 100):
+    # te=1 and te>=kmax take the capless global staircase merge; te=7 with
+    # kmax=50 exercises the binding-cap fallback (per-edge top_k path)
+    for te in (1, 7, 100):
         for m in ("staircase", "pairtable"):
             out = batched_scene_hits(
                 logits, rel, ei, em, gt_class, gt_rels,
