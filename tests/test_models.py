@@ -133,3 +133,31 @@ def test_padding_invariance():
         np.asarray(out_b["rel_cls_3d"])[0, :e_valid],
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_gate_layout_head_major_equivalent():
+    """gate_layout="head_major" (plain last-axis Dense gate MLP between two
+    explicit transposes) computes the same function as the default
+    "channel" layout with an IDENTICAL parameter tree — checkpoints are
+    interchangeable.  (A device A/B measured head_major ~10% SLOWER on
+    TPU, so "channel" stays the default; PERFORMANCE.md round 3.)"""
+    batch = make_batch(seed=3, node_counts=(5, 4), num_points=16, bucket=6)
+    m_ch = MMGNet(cfg=tiny_cfg())
+    m_hm = MMGNet(cfg=tiny_cfg(gate_layout="head_major"))
+    variables = m_ch.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, istrain=True,
+    )
+    v2 = m_hm.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, istrain=True,
+    )
+    assert (jax.tree_util.tree_structure(variables["params"])
+            == jax.tree_util.tree_structure(v2["params"]))
+    o1 = m_ch.apply(variables, batch, istrain=False)
+    o2 = m_hm.apply(variables, batch, istrain=False)
+    assert o1.keys() == o2.keys()
+    for k in o1:
+        np.testing.assert_allclose(
+            np.asarray(o1[k]), np.asarray(o2[k]), rtol=2e-4, atol=2e-4,
+            err_msg=k)

@@ -36,6 +36,15 @@ class FatEdgeAttention(nn.Module):
     dim_atten: int
     dropout_atten: float | None = 0.5
     use_edge: bool = True
+    # gate-path tensor layout (same math + SAME parameter tree either way):
+    #   "channel":    (..., C, H) tensors, ChannelDense in-place contraction
+    #                 over axis -2 (round-2b design).
+    #   "head_major": one explicit (..., C, H) <-> (..., H, C) transpose on
+    #                 each side of the gate MLP, which then runs as plain
+    #                 last-axis Dense layers with softmax on the MINOR axis
+    #                 — trades 2 transposes for the layout copies XLA
+    #                 inserts around the axis(-2) dot_generals.
+    gate_layout: str = "channel"
 
     @nn.compact
     def __call__(self, x_i, edge, x_j, *, deterministic: bool = True,
@@ -72,10 +81,18 @@ class FatEdgeAttention(nn.Module):
         else:
             gate_in = q
             feats = [2 * d_n, d_o]
-        prob = HeadMLP(feats, dropout=self.dropout_atten, name="nn")(
-            gate_in, deterministic=deterministic
-        )  # (..., d_o, H)
-        prob = nn.softmax(prob, axis=-2)  # softmax over the feature dim
+        if self.gate_layout == "head_major":
+            gi = jnp.swapaxes(gate_in, -1, -2)           # (..., H, C)
+            prob = HeadMLP(feats, dropout=self.dropout_atten,
+                           head_major=True, name="nn")(
+                gi, deterministic=deterministic)         # (..., H, d_o)
+            prob = nn.softmax(prob, axis=-1)  # feature dim (now minor)
+            prob = jnp.swapaxes(prob, -1, -2)            # (..., d_o, H)
+        else:
+            prob = HeadMLP(feats, dropout=self.dropout_atten, name="nn")(
+                gate_in, deterministic=deterministic
+            )  # (..., d_o, H)
+            prob = nn.softmax(prob, axis=-2)  # softmax over the feature dim
         gate = prob.reshape(*prob.shape[:-2], d_o * h)
         return gate * value, edge_new
 
@@ -106,6 +123,7 @@ class GraphEdgeAttenNetwork(nn.Module):
     #   "onehot": project per node, gather via a one-hot (B, E, N) matmul
     #             — the "gather" FLOP saving with MXU-friendly access.
     nn_edge_mode: str = "edge"
+    gate_layout: str = "channel"  # see FatEdgeAttention.gate_layout
 
     @nn.compact
     def __call__(self, x, edge_feature, edge_index, edge_mask, *,
@@ -118,6 +136,7 @@ class GraphEdgeAttenNetwork(nn.Module):
             dim_atten=self.dim_atten,
             dropout_atten=self.dropout_atten,
             use_edge=self.use_edge,
+            gate_layout=self.gate_layout,
             name="edgeatten",
         )
         hid = self.dim_node + self.dim_edge

@@ -69,16 +69,26 @@ class HeadMLP(nn.Module):
     Input (..., C, H): a 1x1 Conv over C with H as the spatial axis, i.e.
     one shared MLP applied independently per head.  Dropout (p from config
     DROP_OUT_ATTEN) sits after each inner ReLU as in network_util.py:13-28.
+
+    ``head_major=True`` takes (..., H, C) input instead and applies plain
+    last-axis Dense layers — algebraically identical with an IDENTICAL
+    parameter tree (Dense and ChannelDense share kernel (C, F) / bias (F,)
+    shapes and inits), so checkpoints are interchangeable; only the
+    caller-side layout differs (see FatEdgeAttention.gate_layout).
     """
 
     features: Sequence[int]
     dropout: float | None = None
+    head_major: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         n = len(self.features)
         for i, f in enumerate(self.features):
-            x = ChannelDense(f, name=f"conv{i}")(x)
+            if self.head_major:
+                x = nn.Dense(f, name=f"conv{i}")(x)
+            else:
+                x = ChannelDense(f, name=f"conv{i}")(x)
             if i < n - 1:
                 x = nn.relu(x)
                 if self.dropout:

@@ -40,6 +40,7 @@ class MMG(nn.Module):
     dropout_atten: float = 0.5
     use_edge: bool = True
     nn_edge_mode: str = "edge"
+    gate_layout: str = "channel"
 
     def _gcn(self, name):
         return GraphEdgeAttenNetwork(
@@ -51,6 +52,7 @@ class MMG(nn.Module):
             dropout_atten=self.dropout_atten,
             use_edge=self.use_edge,
             nn_edge_mode=self.nn_edge_mode,
+            gate_layout=self.gate_layout,
             name=name,
         )
 

@@ -65,6 +65,9 @@ class MMGNetConfig:
     # "onehot" projects per node and gathers via one-hot matmul — exact
     # same math as "edge" at ~N/2x fewer FLOPs on the hot projections
     nn_edge_mode: str = "edge"
+    # gate-path layout ("channel" | "head_major") — same math and SAME
+    # parameter tree; see FatEdgeAttention.gate_layout
+    gate_layout: str = "channel"
     # in21k-variant switches (reference model_in21k.py: dim_node 768,
     # no adapter, plain Linear classifiers, no 768->504 bottleneck):
     cosine_classifier: bool = True
@@ -225,6 +228,7 @@ class MMGNet(nn.Module):
             dropout_atten=cfg.dropout_atten,
             use_edge=cfg.use_gcn_edge,
             nn_edge_mode=cfg.nn_edge_mode,
+            gate_layout=cfg.gate_layout,
             name="mmg",
         )(
             obj_feature, obj_2d, rel_feature_3d, rel_feature_2d,
