@@ -206,6 +206,23 @@ def test_resident_sharded_eval_matches_streaming(pack):
         np.testing.assert_array_equal(
             np.asarray(stream[k]), np.asarray(sharded[k]), err_msg=k)
 
+    # grouped sharded mode: K batch ids per dispatch, shard-local slices.
+    # batch_size=2 over 4 scenes -> 2 batches; group=2 covers a full group
+    # and (with group=4... not needed) the tail-repeat path via group=3
+    stream2 = evaluate(eval_fn, params, bstats,
+                       PackedLoader(pack, batch_size=2), verbose=False)
+    mesh2 = make_mesh(jax.devices()[:2])
+    for g in (2, 3):
+        gl = ResidentShardedEval(pack, mesh2, batch_size=2, group=g)
+        assert gl.grouped and gl.mesh_sharded and len(gl) == 2
+        got = evaluate(eval_fn, replicate(params, mesh2),
+                       replicate(bstats, mesh2), gl, verbose=False)
+        assert stream2.keys() == got.keys()
+        for k in stream2:
+            np.testing.assert_array_equal(
+                np.asarray(stream2[k]), np.asarray(got[k]),
+                err_msg=f"group={g} {k}")
+
     with pytest.raises(ValueError, match="divide"):
         ResidentShardedEval(pack, mesh, batch_size=3)
 

@@ -215,7 +215,13 @@ class ResidentShardedEval:
     mesh_sharded = True  # runner/val paths skip shard_eval_batches
 
     def __init__(self, packed: PackedScenes, mesh, batch_size: int,
-                 axis: str = "data", variant: int = 0):
+                 axis: str = "data", variant: int = 0, group: int = 1):
+        """``group`` > 1 scans K batches per dispatch (one output fetch
+        per group, like ResidentGroupedEval): items become (hosts,
+        stacked split, (K,) int32 batch ids) and each scan step takes a
+        shard-local batch slice, so the grouped dispatch stays
+        data-parallel with no cross-device gathers.  Tail groups repeat
+        the last batch id; repeats are never assembled."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -226,9 +232,13 @@ class ResidentShardedEval:
             raise ValueError(
                 f"batch_size {batch_size} does not divide over {n_dev} "
                 f"devices on mesh axis {axis!r}")
+        if group < 1:
+            raise ValueError(f"group must be >= 1, got {group}")
         self.packed = packed
         self.batch_size = batch_size
         self.variant = variant
+        self.group = int(group)
+        self.grouped = self.group > 1  # evaluate() takes the grouped path
         sharding = NamedSharding(mesh, P(None, axis))
         self._take = jax.jit(
             lambda full, k: jax.tree_util.tree_map(lambda a: a[k], full))
@@ -260,8 +270,19 @@ class ResidentShardedEval:
 
         for b in sorted(self._hosts):
             full = self._stacks[b]
-            for k, host in enumerate(self._hosts[b]):
-                yield host, self._take(full, jnp.int32(k))
+            hosts_b = self._hosts[b]
+            if not self.grouped:
+                for k, host in enumerate(hosts_b):
+                    yield host, self._take(full, jnp.int32(k))
+                continue
+            for g0 in range(0, len(hosts_b), self.group):
+                hosts = hosts_b[g0:g0 + self.group]
+                ids = np.arange(g0, g0 + len(hosts), dtype=np.int32)
+                if len(hosts) < self.group:  # fixed (K,) shape: one compile
+                    ids = np.concatenate(
+                        [ids, np.full(self.group - len(hosts), ids[-1],
+                                      np.int32)])
+                yield hosts, full, ids
 
 
 def epoch_permutations(

@@ -219,6 +219,14 @@ def _get_fused_grouped(eval_step, single_label: bool, with_probs: bool,
 
     @jax.jit
     def fused_grouped(params, batch_stats, full, idx):
+        # idx rank is static at trace time and selects the storage mode:
+        #   (K, B) int32 — flat resident split: gather B scene rows per
+        #                  scan step (single-device ResidentGroupedEval);
+        #   (K,)   int32 — batch-structured sharded split (leaves
+        #                  (num_batches, B, ...) placed P(None, 'data')):
+        #                  select whole batch k per step — a shard-local
+        #                  slice, so the scan stays data-parallel with no
+        #                  cross-device gathers (ResidentShardedEval).
         def body(carry, rows):
             dev_in = jax.tree_util.tree_map(
                 lambda a: jnp.take(a, rows, axis=0), full)

@@ -241,12 +241,14 @@ class Runner:
             if bs % n_dev == 0:
                 from vlsat_tpu.data.resident import ResidentShardedEval
 
+                group = int(self.cfg.get("EVAL_GROUP", 4))
                 cached = getattr(self, "_eval_resident", None)
                 if (not isinstance(cached, ResidentShardedEval)
                         or cached.packed is not packed
-                        or cached.batch_size != bs):
+                        or cached.batch_size != bs
+                        or cached.group != max(group, 1)):
                     cached = self._eval_resident = ResidentShardedEval(
-                        packed, self.mesh, bs)
+                        packed, self.mesh, bs, group=max(group, 1))
                 return cached
         elif on:
             from vlsat_tpu.data.resident import (
