@@ -231,3 +231,34 @@ def test_staircase_matches_pairtable():
                 for w, g in zip(want, out):
                     np.testing.assert_array_equal(w, np.asarray(g),
                                                   err_msg=f"te={te}")
+
+
+def test_tally_hits_batch_matches_per_scene():
+    """tally_hits_batch == tally_hits row by row, including no-GT scenes
+    (flagged invalid) and padded edges."""
+    from vlsat_tpu.eval.recall import tally_hits, tally_hits_batch
+
+    rng = np.random.RandomState(3)
+    b, e, nrel, kmax = 5, 30, 7, 40
+    sel = rng.randint(0, e, (b, kmax)).astype(np.int32)
+    hits = rng.rand(b, kmax) < 0.25
+    gt_rels = (rng.rand(b, e, nrel) < 0.2).astype(np.float32)
+    edge_mask = np.zeros((b, e), bool)
+    evs = [30, 12, 0, 20, 7]
+    for s, ev in enumerate(evs):
+        edge_mask[s, :ev] = True
+        gt_rels[s, ev:] = 0.0
+        hits[s] &= sel[s] < max(ev, 1)  # device hits only on valid edges
+    gt_rels[3] = 0.0  # valid edges but no GT relations -> invalid scene
+
+    scalar, per_cls, valid = tally_hits_batch(
+        sel, hits, gt_rels, edge_mask, topk=(5, 20, 40),
+        num_rel_classes=nrel)
+    assert valid.tolist() == [True, True, False, False, True]
+    for s, ev in enumerate(evs):
+        if not valid[s]:
+            continue
+        want_s, want_c = tally_hits(sel[s], hits[s], gt_rels[s, :ev],
+                                    topk=(5, 20, 40), num_rel_classes=nrel)
+        np.testing.assert_allclose(scalar[s], want_s, err_msg=f"scene {s}")
+        np.testing.assert_allclose(per_cls[s], want_c, err_msg=f"scene {s}")

@@ -436,22 +436,20 @@ def evaluate(
         if scene_recall:
             # device already ranked the candidates and computed their hit
             # flags inside the fused program (batched_scene_hits); the host
-            # only tallies first-hit ranks per edge — no per-scene dispatch
-            from vlsat_tpu.eval.recall import tally_hits
+            # tally runs once per (batch, combo) — the per-scene x
+            # per-combo tally loop was the last in21k host wall
+            from vlsat_tpu.eval.recall import tally_hits_batch
 
-            for s in range(batch.num_scenes):
-                ev = int(edge_mask[s].sum())
-                if ev == 0 or gt_rels[s, :ev].sum() <= 0:
-                    continue
-                for name, _ in sr_combos:
-                    for tag, _te in SR_VARIANTS:
-                        k2 = f"{name}_{tag}"
-                        scalar, per_cls = tally_hits(
-                            p[f"sre_{k2}"][s], p[f"srh_{k2}"][s],
-                            gt_rels[s, :ev], topk=(20, 50, 100),
-                            num_rel_classes=num_rel_classes)
-                        sr_acc[k2].append(scalar)
-                        sr_cls[k2].append(per_cls)
+            for name, _ in sr_combos:
+                for tag, _te in SR_VARIANTS:
+                    k2 = f"{name}_{tag}"
+                    scalar, per_cls, valid = tally_hits_batch(
+                        p[f"sre_{k2}"], p[f"srh_{k2}"], gt_rels, edge_mask,
+                        topk=(20, 50, 100),
+                        num_rel_classes=num_rel_classes)
+                    if valid.any():
+                        sr_acc[k2].append(scalar[valid])
+                        sr_cls[k2].append(per_cls[valid])
 
         seen += int((obj_mask.sum(axis=1) > 0).sum())
         if progbar is not None:
@@ -568,12 +566,15 @@ def evaluate(
 
     if scene_recall:
         ks = (20, 50, 100)
+        # per-batch (V, ...) row blocks from tally_hits_batch concatenate
+        # into the same per-scene row list the per-scene tally produced
         for key, vals in sr_acc.items():
-            stacked = np.stack(vals) if vals else np.full((1, len(ks)), np.nan)
+            stacked = (np.concatenate(vals) if vals
+                       else np.full((1, len(ks)), np.nan))
             for i, k in enumerate(ks):
                 metrics[f"{key}_recall_{k}"] = float(np.nanmean(stacked[:, i]) * 100)
         for key, vals in sr_cls.items():
-            stacked = (np.stack(vals) if vals
+            stacked = (np.concatenate(vals) if vals
                        else np.full((1, num_rel_classes, len(ks)), -1.0))
             masked = np.where(stacked >= 0, stacked, np.nan)  # -1 = class absent
             with np.errstate(invalid="ignore"):

@@ -235,6 +235,46 @@ def batched_scene_hits(
     return edge_g, hit
 
 
+def tally_hits_batch(
+    sel_edges: np.ndarray,     # (B, kmax) candidate edge ids, ranked
+    hits: np.ndarray,          # (B, kmax) bool
+    gt_rels: np.ndarray,       # (B, E, R) padded
+    edge_mask: np.ndarray,     # (B, E) bool
+    topk: Sequence[int],
+    num_rel_classes: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``tally_hits`` for a whole batch in one shot.
+
+    Returns (scalar (B, len(topk)), per-class (B, R, len(topk)),
+    valid (B,) — scenes with >= 1 GT relation; invalid rows carry
+    garbage and must be dropped by the caller).  Replaces the per-scene
+    x per-combo Python loop that dominated the in21k host tail once the
+    candidate kernel moved to the staircase (2,048 calls -> 64 per
+    512-scene pass; PERFORMANCE.md round 3).  Semantics identical to
+    ``tally_hits`` row by row (tests/test_recall.py)."""
+    b, kmax = hits.shape
+    e = gt_rels.shape[1]
+    gt_pos = (gt_rels[..., :num_rel_classes] > 0) & edge_mask[..., None]
+    totals = gt_pos.sum(axis=1).astype(np.float64)             # (B, R)
+    has_gt = (gt_rels > 0).any(axis=-1) & edge_mask            # (B, E)
+    total = has_gt.sum(axis=1).astype(np.float64)              # (B,)
+
+    # first hit rank per (scene, edge): scatter-min of candidate ranks
+    franks = np.full((b, e), kmax + 1, np.int64)
+    si, ri = np.nonzero(hits)
+    np.minimum.at(franks, (si, sel_edges[si, ri]), ri)
+
+    ks = np.asarray(list(topk))
+    rec = franks[:, :, None] < ks[None, None, :]               # (B, E, K)
+    scalar = rec.sum(axis=1) / np.maximum(total, 1.0)[:, None]
+    correct = np.einsum("bek,ber->brk", rec.astype(np.float64),
+                        gt_pos.astype(np.float64))
+    out = np.full((b, num_rel_classes, len(ks)), -1.0)
+    nz = totals > 0                                            # (B, R)
+    out[nz] = correct[nz] / totals[nz][:, None]
+    return scalar, out, total > 0
+
+
 def tally_hits(
     sel_edges: np.ndarray,     # (kmax,) candidate edge ids, ranked
     hits: np.ndarray,          # (kmax,) bool — candidate names its edge's GT
