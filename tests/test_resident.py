@@ -242,3 +242,43 @@ def test_epoch_permutations_cover_and_drop():
     # different epochs shuffle differently
     g2 = list(epoch_permutations(counts, group=2, epoch=1, seed=1))
     assert any((a[1] != b[1]).any() for a, b in zip(groups, g2))
+
+
+def test_resident_grouped_eval_multi_bucket(tmp_path):
+    """Grouped iteration across MULTIPLE buckets (per-bucket resident
+    tensors, per-bucket scan retrace, bucket-ascending order) matches the
+    streaming loader exactly."""
+    from vlsat_tpu.data.dataset import SSGScenes
+    from vlsat_tpu.data.packed import PackedLoader
+    from vlsat_tpu.data.resident import ResidentGroupedEval
+    from vlsat_tpu.data.synthetic import make_synthetic_split
+    from vlsat_tpu.eval.engine import evaluate
+    from vlsat_tpu.train.step import make_eval_step
+
+    root, scans_root, cache_root = make_synthetic_split(
+        str(tmp_path), num_scans=10, insts_per_scan=(4, 8),
+        vertices_per_inst=40, rels_per_scan=4, seed=3)
+    ds = SSGScenes(root, scans_root, "validation_scans",
+                   cache_root=cache_root)
+    out = str(tmp_path / "pack")
+    pack_scenes(ds, out, seed=3)
+    packed = PackedScenes(out)
+    assert len(packed.buckets) >= 2, packed.buckets
+
+    model = MMGNet(cfg=MMGNetConfig())
+    tiny = make_batch(seed=1, node_counts=(4,), num_points=8, bucket=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        tiny, istrain=True)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    eval_fn = make_eval_step(model)
+
+    stream = evaluate(eval_fn, params, bstats,
+                      PackedLoader(packed, batch_size=3), verbose=False)
+    loader = ResidentGroupedEval(ResidentScenes(packed), 3, group=2)
+    got = evaluate(eval_fn, params, bstats, loader, verbose=False)
+    assert stream.keys() == got.keys()
+    for k in stream:
+        np.testing.assert_array_equal(
+            np.asarray(stream[k]), np.asarray(got[k]), err_msg=k)
