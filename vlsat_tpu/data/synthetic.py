@@ -49,6 +49,27 @@ def make_scene(
     )
 
 
+def validation_scene_stats(num_scans: int, seed: int = 0) -> tuple:
+    """(node_counts, rel_counts) for ``num_scans`` scenes drawn JOINTLY
+    from the REAL 3DSSG validation split
+    (assets/3dssg/relationships_validation.json: 548 scan-splits, N in
+    {5..9} — the reference pre-splits scenes into <= 9 object subgraphs,
+    gen_data_gt.py generate_groups; relations/scan median 17, p95 46, max
+    103).  Sampling (with replacement) real (N, #rels) pairs keeps the
+    bucket mix AND the label density faithful at any split size."""
+    import json
+    import os
+
+    assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "assets", "3dssg")
+    with open(os.path.join(assets, "relationships_validation.json")) as f:
+        scans = json.load(f)["scans"]
+    real = [(len(s["objects"]), len(s["relationships"])) for s in scans]
+    rng = np.random.RandomState(seed)
+    picks = [real[i] for i in rng.randint(0, len(real), num_scans)]
+    return [n for n, _ in picks], [r for _, r in picks]
+
+
 def make_synthetic_split(
     base_dir: str,
     num_scans: int = 64,
@@ -57,12 +78,21 @@ def make_synthetic_split(
     rels_per_scan: int = 12,
     seed: int = 0,
     split: str = "validation",
+    node_counts=None,
+    rel_counts=None,
 ) -> tuple:
     """Fabricate a 3DSSG-style split on disk for end-to-end benchmarks:
     mesh tensors are written straight into the loader's npz cache format
     (the PLY parse they replace is benchmarked separately,
     PERFORMANCE.md "Host input pipeline"), plus the relationships JSON and
     class/relation lists.  Returns (root, scans_root, cache_root).
+
+    ``node_counts`` / ``rel_counts``: explicit per-scan instance and
+    relation counts (override the uniform ``insts_per_scan`` /
+    ``rels_per_scan`` draws) — e.g. ``validation_scene_stats`` for a split
+    whose bucket mix and label density match the real 3DSSG validation
+    histogram.  ``rels_per_scan`` may be an int (fixed) or a (lo, hi)
+    tuple (uniform per scan).
 
     Idempotent per (base_dir, parameters): reuses an existing build.
     """
@@ -74,8 +104,14 @@ def make_synthetic_split(
     cache_root = os.path.join(base_dir, "cache")
     stamp = os.path.join(base_dir, "stamp.json")
     params = dict(num_scans=num_scans, insts=list(insts_per_scan),
-                  verts=vertices_per_inst, rels=rels_per_scan, seed=seed,
-                  split=split)
+                  verts=vertices_per_inst,
+                  rels=list(rels_per_scan) if isinstance(
+                      rels_per_scan, (tuple, list)) else rels_per_scan,
+                  seed=seed, split=split,
+                  nodes=(list(map(int, node_counts))
+                         if node_counts is not None else None),
+                  rel_counts=(list(map(int, rel_counts))
+                              if rel_counts is not None else None))
     if os.path.exists(stamp):
         with open(stamp) as f:
             if json.load(f) == params:
@@ -96,10 +132,16 @@ def make_synthetic_split(
 
     rng = np.random.RandomState(seed)
     lo, hi = insts_per_scan
+    for name, counts in (("node_counts", node_counts),
+                         ("rel_counts", rel_counts)):
+        if counts is not None and len(counts) != num_scans:
+            raise ValueError(
+                f"{name} has {len(counts)} entries for {num_scans} scans")
     scan_ids = [f"synth{i:04d}-scan" for i in range(num_scans)]
     scenes = []
-    for scan in scan_ids:
-        n = int(rng.randint(lo, hi + 1))
+    for si, scan in enumerate(scan_ids):
+        n = (int(node_counts[si]) if node_counts is not None
+             else int(rng.randint(lo, hi + 1)))
         pts, inst = [], []
         for iid in range(1, n + 1):
             c = rng.randn(3).astype(np.float32) * 2.5
@@ -111,8 +153,15 @@ def make_synthetic_split(
                  instances=np.concatenate(inst))
         objects = {str(i): classes[int(rng.randint(len(classes)))]
                    for i in range(1, n + 1)}
+        if rel_counts is not None:
+            n_rels = int(rel_counts[si])
+        elif isinstance(rels_per_scan, (tuple, list)):
+            r_lo, r_hi = rels_per_scan
+            n_rels = int(rng.randint(r_lo, r_hi + 1))
+        else:
+            n_rels = int(rels_per_scan)
         rels = []
-        for _ in range(rels_per_scan):
+        for _ in range(n_rels):
             a, b = rng.choice(np.arange(1, n + 1), 2, replace=False)
             r = int(rng.randint(1, len(rel_names)))  # skip 'none'
             rels.append([int(a), int(b), r, rel_names[r]])
