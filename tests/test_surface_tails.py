@@ -131,3 +131,69 @@ def test_feature_transform_regularizer():
     trans = stn.apply(stn.init(jax.random.PRNGKey(0), pts), pts)
     np.testing.assert_allclose(
         float(feature_transform_regularizer(trans)), 0.0, atol=1e-6)
+
+
+def test_evaluate_topk_matches_reference_walk():
+    """evaluate_topk (eva_utils_acc.py:82-134 — dead code in the
+    reference, kept for literal surface completeness) vs a naive oracle
+    that mirrors the reference loop verbatim: descending argsort of the
+    materialized cube, walk until ``gt_conf >= conf[idx] or index > topk``,
+    then the sorted multi-GT rank discount."""
+    from vlsat_tpu.eval.metrics import evaluate_topk
+
+    rng = np.random.RandomState(3)
+    n, c, r, e = 7, 12, 5, 10
+    objs_logp = np.log(rng.dirichlet(np.ones(c), size=n)).astype(np.float32)
+    rels_sig = rng.rand(e, r).astype(np.float32)
+    edges = np.stack([rng.randint(0, n, e), rng.randint(0, n, e)], axis=1)
+    gt_rel = []
+    for i in range(e):
+        k = int(rng.randint(0, 4))  # 0..3 GT predicates (0 => skipped edge)
+        preds = list(rng.choice(r, size=k, replace=False))
+        gt_rel.append((int(rng.randint(0, c)), int(rng.randint(0, c)),
+                       [int(p) for p in preds]))
+
+    def oracle(objs_pred, rels_pred, gt, ei, multi, topk):
+        objs = np.exp(objs_pred)
+        rels = rels_pred if multi else np.exp(rels_pred)
+        res, cls = [], []
+        for edge in range(len(ei)):
+            sub = objs[ei[edge][0]]
+            obj = objs[ei[edge][1]]
+            node = np.matmul(sub.reshape(-1, 1), obj.reshape(1, -1))
+            cube = np.matmul(node.reshape(-1, 1),
+                             rels[edge].reshape(1, -1)).reshape(
+                                 len(sub), len(obj), -1)
+            flat = cube.reshape(-1)
+            order = np.argsort(-flat, kind="stable")
+            s_gt, o_gt, preds = gt[edge]
+            temp, tmp_cls = [], []
+            for p in preds:
+                gt_conf = cube[s_gt, o_gt, p]
+                index = 1
+                for idx in order:
+                    if gt_conf >= flat[idx] or index > topk:
+                        break
+                    index += 1
+                temp.append(index)
+                tmp_cls.append(p)
+            for i, t in enumerate(sorted(temp)):
+                assert t - i > 0
+                res.append(t - i)
+            cls += tmp_cls
+        return np.asarray(res), np.asarray(cls)
+
+    for topk in (101, 8):  # 8 exercises the topk+1 saturation
+        got_r, got_c = evaluate_topk(objs_logp, rels_sig, gt_rel, edges,
+                                     multi_rel_outputs=True, topk=topk)
+        exp_r, exp_c = oracle(objs_logp, rels_sig, gt_rel, edges, True, topk)
+        np.testing.assert_array_equal(got_r, exp_r)
+        np.testing.assert_array_equal(got_c, exp_c)
+
+    # single-label path: rels are log-softmax and get exponentiated too
+    rels_logp = np.log(rng.dirichlet(np.ones(r), size=e)).astype(np.float32)
+    got_r, got_c = evaluate_topk(objs_logp, rels_logp, gt_rel, edges,
+                                 multi_rel_outputs=False, topk=101)
+    exp_r, exp_c = oracle(objs_logp, rels_logp, gt_rel, edges, False, 101)
+    np.testing.assert_array_equal(got_r, exp_r)
+    np.testing.assert_array_equal(got_c, exp_c)

@@ -339,6 +339,59 @@ def topk_accuracy(ranks: np.ndarray, k: int) -> float:
     return float((ranks <= k).sum() * 100.0 / len(ranks))
 
 
+def evaluate_topk(
+    objs_pred: np.ndarray,       # (N, C) log-softmax object scores
+    rels_pred: np.ndarray,       # (E, R) sigmoid probs (multi) / log-softmax
+    gt_rel: Sequence,            # per edge: (sub_cls, obj_cls, [pred ids])
+    edges: np.ndarray,           # (E, 2) node indices
+    multi_rel_outputs: bool,
+    topk: int = 101,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-edge triplet rank over the full C*C*R score cube
+    (eva_utils_acc.py:82-134).
+
+    NOTE: this is DEAD CODE in the reference — no model or runner calls it
+    (every caller uses evaluate_triplet_topk instead); it exists here only
+    to close the literal surface.  Semantics preserved exactly:
+
+    * object scores are exponentiated log-softmax (``np.exp``); predicate
+      scores too unless ``multi_rel_outputs`` (already sigmoid probs);
+    * the cube cell for edge (i, j) is ``(objs[i, a] * objs[j, b]) *
+      rels[e, k]`` with subject probabilities on axis 0 — the reference's
+      ``node_score = matmul(objs_pred[edge_from], objs_pred[edge_to].T)``;
+    * rank of a GT predicate = 1 + #{cells strictly greater than the GT
+      cell} (descending iteration breaks on ``gt_conf >= conf``, so ties
+      count as hits), saturated at ``topk + 1``;
+    * multiple GT predicates on one edge get the sorted rank-discount
+      ``sorted(ranks)[i] - i`` (same trick as evaluate_triplet_topk);
+    * the returned class array lists GT predicate ids in edge order
+      (undiscounted order — the reference appends ``tmp_cls`` unsorted).
+    """
+    objs = np.exp(np.asarray(objs_pred, np.float32))
+    rels = np.asarray(rels_pred, np.float32)
+    if not multi_rel_outputs:
+        rels = np.exp(rels)
+    edges = np.asarray(edges).reshape(-1, 2)
+    res: List[int] = []
+    cls: List[int] = []
+    for e in range(len(edges)):
+        preds = list(gt_rel[e][2])
+        if not preds:
+            continue
+        s, o, r = objs[edges[e, 0]], objs[edges[e, 1]], rels[e]
+        # full cube, float order matching the reference's two matmuls:
+        # (s_a * o_b) first, then * r_k — so the GT cell ties with its own
+        # threshold exactly and is never counted as greater
+        cube = np.multiply.outer(np.multiply.outer(s, o), r)
+        ranks = sorted(
+            min(int((cube > (s[gt_rel[e][0]] * o[gt_rel[e][1]]) * r[p]).sum())
+                + 1, topk + 1)
+            for p in preds)
+        res.extend(rank - i for i, rank in enumerate(ranks))
+        cls.extend(preds)
+    return np.asarray(res), np.asarray(cls)
+
+
 def get_mean_recall(
     triplet_rank: np.ndarray, cls_matrix: np.ndarray,
     topk: Sequence[int] = (50, 100), num_rel_classes: int = 26,
