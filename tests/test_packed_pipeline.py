@@ -1,5 +1,7 @@
 """Packed per-bucket tensor cache + multi-step training dispatch tests."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -222,3 +224,67 @@ def test_multi_step_matches_sequential_steps():
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         st_multi.params, st_seq.params)
     assert max(jax.tree_util.tree_leaves(d)) < 2e-5
+
+
+def test_parallel_pack_matches_serial(tmp_path):
+    """workers=N pack is bit-identical to the serial per-scene-seed pack.
+
+    The parallel build (spawn pool, tools/pack_dataset.py --workers) seeds
+    every (variant, scene) independently so output cannot depend on worker
+    count or completion order; per_scene_seed=True runs the identical
+    seeding serially — the two must produce byte-equal tensors and the
+    same manifest grouping."""
+    import json
+    import os
+    from functools import partial
+
+    from vlsat_tpu.data.packed import build_scenes
+
+    root, scans = make_mini_dataset(tmp_path, num_scans=4, insts_per_scan=5,
+                                    no_rel_scan=2)
+    kwargs = dict(root=root, scans_root=scans, split="train_scans")
+    ds = SSGScenes(**kwargs)
+    out_s, out_p = str(tmp_path / "ser"), str(tmp_path / "par")
+    man_s = pack_scenes(ds, out_s, seed=7, variants=2, per_scene_seed=True)
+    man_p = pack_scenes(ds, out_p, seed=7, variants=2, workers=2,
+                        scenes_factory=partial(build_scenes, kwargs))
+    assert man_s["buckets"] == man_p["buckets"]
+    npys = sorted(f for f in os.listdir(out_s) if f.endswith(".npy"))
+    assert npys == sorted(f for f in os.listdir(out_p) if f.endswith(".npy"))
+    for f in npys:
+        a = np.load(os.path.join(out_s, f))
+        b = np.load(os.path.join(out_p, f))
+        np.testing.assert_array_equal(a, b, err_msg=f)
+    with open(os.path.join(out_s, "manifest.json")) as f:
+        ms = json.load(f)
+    with open(os.path.join(out_p, "manifest.json")) as f:
+        mp_ = json.load(f)
+    assert ms == mp_
+    # and the default shared-RNG serial path still differs only by the
+    # point draw, not by grouping
+    assert pack_scenes(ds, str(tmp_path / "leg"), seed=7)["buckets"][
+        "8"]["scene_indices"] == ms["buckets"]["8"]["scene_indices"]
+
+
+def test_synthetic_split_ply_mode_matches_npz(tmp_path):
+    """write_ply=True yields the same prepared tensors as the npz-cache
+    mode: the PLY round-trip (used by tools/bench_cold_start.py to time
+    the true cold path) must be lossless."""
+    from vlsat_tpu.data.synthetic import make_synthetic_split
+
+    common = dict(num_scans=3, insts_per_scan=(4, 6), vertices_per_inst=300,
+                  rels_per_scan=5, seed=3)
+    root_a, scans_a, cache_a = make_synthetic_split(
+        str(tmp_path / "npz"), **common)
+    root_b, scans_b, cache_b = make_synthetic_split(
+        str(tmp_path / "ply"), write_ply=True, background_verts=40, **common)
+    assert not os.listdir(cache_b)  # ply mode leaves the cache cold
+    ds_a = SSGScenes(root_a, scans_a, "train_scans", cache_root=cache_a)
+    ds_b = SSGScenes(root_b, scans_b, "train_scans", cache_root=None)
+    assert len(ds_a) == len(ds_b) == 3
+    for i in range(3):
+        pa = ds_a.prepare(i, np.random.RandomState(5))
+        pb = ds_b.prepare(i, np.random.RandomState(5))
+        for k in ("obj_points", "descriptor", "gt_class", "edge_index",
+                  "gt_rels"):
+            np.testing.assert_array_equal(pa[k], pb[k], err_msg=k)

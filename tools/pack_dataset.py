@@ -28,11 +28,16 @@ def main():
     ap.add_argument("--out", type=str, default=None,
                     help="default: dataset.packed_root from the config")
     ap.add_argument("--variants", type=int, default=1)
+    ap.add_argument("--workers", type=int, default=0,
+                    help="parallel prepare workers (0 = serial; parallel "
+                         "packs use order-independent per-scene seeding)")
     args = ap.parse_args()
+
+    from functools import partial
 
     from vlsat_tpu.config import load_config
     from vlsat_tpu.data.dataset import SSGScenes
-    from vlsat_tpu.data.packed import pack_scenes
+    from vlsat_tpu.data.packed import build_scenes, pack_scenes
 
     cfg = load_config(args.config)
     d = cfg.dataset
@@ -51,7 +56,7 @@ def main():
 
     for split in args.splits:
         is_train = split == "train"
-        ds = SSGScenes(
+        kwargs = dict(
             root=d.root, scans_root=d.scans_root, split=f"{split}_scans",
             label_file=d.label_file, num_points=d.num_points,
             num_points_union=d.num_points_union,
@@ -62,12 +67,16 @@ def main():
             use_rgb=cfg.MODEL.get("USE_RGB", False),
             use_normal=cfg.MODEL.get("USE_NORMAL", False),
         )
+        ds = SSGScenes(**kwargs)
         dest = os.path.join(out, split)
         print(f"packing {split}: {len(ds)} scenes -> {dest}")
         manifest = pack_scenes(
             ds, dest, buckets=tuple(d.node_buckets), seed=cfg.SEED,
             variants=args.variants if is_train else 1,
             drop_relation_free=is_train,
+            workers=args.workers,
+            scenes_factory=partial(build_scenes, kwargs)
+            if args.workers else None,
         )
         counts = {b: m["count"] for b, m in manifest["buckets"].items()}
         print(f"  bucket counts: {counts}")

@@ -70,6 +70,37 @@ class _TextDedup:
              np.stack(self.rows) if self.rows else np.zeros((0, dim), np.float32)])
 
 
+def _scene_seed(seed: int, variant: int, i: int) -> int:
+    """Deterministic per-(variant, scene) RNG seed, independent of the
+    order scenes are prepared in — the property that lets a parallel pack
+    build reproduce a serial one bit-for-bit."""
+    return int(seed + 1000 * variant + 97003 * (i + 1)) % (2**31 - 1)
+
+
+_WORKER_SCENES = None
+
+
+def _pack_worker_init(factory):
+    global _WORKER_SCENES
+    # Workers are host-only: the native/NumPy prepare path never needs an
+    # accelerator, and initializing one per worker would be both slow and
+    # unsafe on shared-device setups.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _WORKER_SCENES = factory()
+
+
+def _pack_worker_prepare(task):
+    i, s = task
+    return i, _WORKER_SCENES.prepare(i, np.random.RandomState(s))
+
+
+def build_scenes(kwargs: dict):
+    """Picklable SSGScenes factory for ``pack_scenes(workers=...)``."""
+    from vlsat_tpu.data.dataset import SSGScenes
+
+    return SSGScenes(**kwargs)
+
+
 def pack_scenes(
     scenes,
     out_dir: str,
@@ -77,6 +108,9 @@ def pack_scenes(
     seed: int = 2020,
     variants: int = 1,
     drop_relation_free: bool = False,
+    workers: int = 0,
+    scenes_factory=None,
+    per_scene_seed: bool = False,
 ) -> dict:
     """Prepare + pad every scene of an ``SSGScenes`` split and store per-
     bucket stacked tensors under ``out_dir``.  Returns the manifest (also
@@ -85,7 +119,20 @@ def pack_scenes(
     ``variants``: number of independent point-sampling draws to pack
     (epoch diversity; the loader cycles them).  ``drop_relation_free``:
     exclude scenes without any GT relation (the reference resamples them
-    away during training, dataset_3dssg.py:163-171)."""
+    away during training, dataset_3dssg.py:163-171).
+
+    ``workers > 0`` fans the per-scene prepare (PLY parse + point
+    sampling + descriptors — the whole cold-start cost) over a spawn
+    multiprocessing pool, the TPU-era analog of the reference's one
+    multiprocessing pattern (data_processing/transform_ply.py:52).
+    Requires ``scenes_factory``, a picklable zero-arg callable building
+    the split in each worker (see ``build_scenes``).  Parallel packs seed
+    each scene independently (``_scene_seed``) so the output is
+    deterministic and order-independent; ``per_scene_seed=True`` applies
+    the same seeding serially (bit-identical to any worker count).  The
+    default serial path keeps the legacy shared-RNG stream."""
+    if workers > 0 and scenes_factory is None:
+        raise ValueError("pack_scenes(workers>0) requires scenes_factory")
     os.makedirs(out_dir, exist_ok=True)
     rel_start = 0 if scenes.multi_rel else 1
     manifest = {
@@ -100,11 +147,28 @@ def pack_scenes(
     }
 
     dedup = _TextDedup()  # shared across variants: targets are label-derived
+
+    def _prepared_stream(v):
+        if workers > 0:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            tasks = [(i, _scene_seed(seed, v, i)) for i in range(len(scenes))]
+            with ctx.Pool(workers, initializer=_pack_worker_init,
+                          initargs=(scenes_factory,)) as pool:
+                yield from pool.imap(_pack_worker_prepare, tasks, chunksize=8)
+        elif per_scene_seed:
+            for i in range(len(scenes)):
+                yield i, scenes.prepare(
+                    i, np.random.RandomState(_scene_seed(seed, v, i)))
+        else:
+            rng = np.random.RandomState(seed + 1000 * v)
+            for i in range(len(scenes)):
+                yield i, scenes.prepare(i, rng)
+
     for v in range(variants):
-        rng = np.random.RandomState(seed + 1000 * v)
         groups: Dict[int, List[Tuple[int, dict]]] = {}
-        for i in range(len(scenes)):
-            s = scenes.prepare(i, rng)
+        for i, s in _prepared_stream(v):
             if drop_relation_free and (
                 len(s["edge_index"]) == 0
                 or s["gt_rels"][:, rel_start:].sum() == 0

@@ -80,6 +80,8 @@ def make_synthetic_split(
     split: str = "validation",
     node_counts=None,
     rel_counts=None,
+    write_ply: bool = False,
+    background_verts: int = 0,
 ) -> tuple:
     """Fabricate a 3DSSG-style split on disk for end-to-end benchmarks:
     mesh tensors are written straight into the loader's npz cache format
@@ -93,6 +95,13 @@ def make_synthetic_split(
     whose bucket mix and label density match the real 3DSSG validation
     histogram.  ``rels_per_scan`` may be an int (fixed) or a (lo, hi)
     tuple (uniform per scan).
+
+    ``write_ply``: write each scan as a real binary PLY under
+    ``scans_root/{scan}/labels.instances.align.annotated.v2.ply`` and
+    leave the npz cache EMPTY, so a loader pass exercises the true cold
+    path (PLY parse included) — used by tools/bench_cold_start.py.
+    ``background_verts``: extra instance-0 (unannotated) vertices per
+    scan, as real 3RScan meshes carry unlabeled clutter.
 
     Idempotent per (base_dir, parameters): reuses an existing build.
     """
@@ -111,7 +120,8 @@ def make_synthetic_split(
                   nodes=(list(map(int, node_counts))
                          if node_counts is not None else None),
                   rel_counts=(list(map(int, rel_counts))
-                              if rel_counts is not None else None))
+                              if rel_counts is not None else None),
+                  ply=bool(write_ply), bg=int(background_verts))
     if os.path.exists(stamp):
         with open(stamp) as f:
             if json.load(f) == params:
@@ -148,9 +158,25 @@ def make_synthetic_split(
             pts.append(c + rng.randn(vertices_per_inst, 3).astype(np.float32)
                        * (0.2 + rng.rand(3).astype(np.float32)))
             inst.append(np.full(vertices_per_inst, iid, np.int32))
-        np.savez(os.path.join(cache_root, f"{scan}.npz"),
-                 points=np.concatenate(pts).astype(np.float32),
-                 instances=np.concatenate(inst))
+        if background_verts:
+            # dedicated stream: background clutter must not shift the main
+            # rng (classes/relations stay identical across bg settings)
+            bg_rng = np.random.RandomState((seed + 991 * si) % (2**31 - 1))
+            pts.append(bg_rng.randn(background_verts, 3).astype(np.float32) * 5)
+            inst.append(np.zeros(background_verts, np.int32))
+        all_pts = np.concatenate(pts).astype(np.float32)
+        all_inst = np.concatenate(inst)
+        if write_ply:
+            from vlsat_tpu.data.ply import write_ply_vertices
+
+            d = os.path.join(scans_root, scan)
+            os.makedirs(d, exist_ok=True)
+            write_ply_vertices(
+                os.path.join(d, "labels.instances.align.annotated.v2.ply"),
+                all_pts, instances=all_inst.astype(np.int32))
+        else:
+            np.savez(os.path.join(cache_root, f"{scan}.npz"),
+                     points=all_pts, instances=all_inst)
         objects = {str(i): classes[int(rng.randint(len(classes)))]
                    for i in range(1, n + 1)}
         if rel_counts is not None:
