@@ -104,6 +104,73 @@ def test_masked_attention_fully_masked_row_is_finite():
     np.testing.assert_allclose(out[0, 0, 0], 0.0)
 
 
+def test_masked_attention_bnhd_large_score_routes_to_dpa(monkeypatch):
+    """The size-gated dot_product_attention path must match the handwritten
+    core — including zeros (not NaN) on fully-masked query rows and the
+    additive distance bias.  Exercised on small shapes by lowering the gate."""
+    import vlsat_tpu.ops.attention as A
+
+    rng = np.random.RandomState(7)
+    B, N, H, D = 2, 6, 2, 8
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) for _ in range(3))
+    bias = jnp.asarray(rng.randn(B, 1, N, N).astype(np.float32))
+    mask = np.ones((B, 1, N, N), bool)
+    mask[0, 0, 2, :] = False  # fully-masked query row
+    mask[..., 5] = False      # padded key for every query
+    mask = jnp.asarray(mask)
+
+    for kw in (
+        dict(mask=mask, bias=bias),
+        dict(mask=mask),
+        dict(bias=bias),
+        dict(),
+    ):
+        monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", 1 << 62)
+        ref = np.asarray(A.masked_attention_bnhd(q, k, v, **kw))
+        monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", 1)
+        out = np.asarray(A.masked_attention_bnhd(q, k, v, **kw))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+        if "mask" in kw:
+            np.testing.assert_allclose(out[0, 2], 0.0)  # masked row -> zeros
+
+
+def test_masked_attention_bnhd_mul_bias_never_routes(monkeypatch):
+    """way='mul' has no dot_product_attention equivalent; it must stay on
+    the handwritten chain even above the size gate."""
+    import vlsat_tpu.ops.attention as A
+
+    def _boom(*a, **kw):  # pragma: no cover - fails the test if reached
+        raise AssertionError("mul-bias path must not route through dpa")
+
+    monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", 1)
+    monkeypatch.setattr(A, "_dpa_large", _boom)
+    rng = np.random.RandomState(8)
+    q, k, v = (jnp.asarray(rng.randn(1, 4, 2, 8).astype(np.float32)) for _ in range(3))
+    bias = jnp.asarray(rng.rand(1, 1, 4, 4).astype(np.float32) + 0.5)
+    out = np.asarray(A.masked_attention_bnhd(q, k, v, bias=bias, bias_way="mul"))
+    assert np.isfinite(out).all()
+
+
+def test_masked_attention_bnhd_large_score_grad_finite(monkeypatch):
+    """Gradients through the dpa path stay finite, including through the
+    fully-masked-row zeroing."""
+    import vlsat_tpu.ops.attention as A
+
+    monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", 1)
+    rng = np.random.RandomState(9)
+    q, k, v = (jnp.asarray(rng.randn(1, 4, 2, 8).astype(np.float32)) for _ in range(3))
+    mask = np.ones((1, 1, 4, 4), bool)
+    mask[0, 0, 3, :] = False
+    mask = jnp.asarray(mask)
+
+    def loss(q):
+        return jnp.sum(A.masked_attention_bnhd(q, k, v, mask=mask) ** 2)
+
+    g = np.asarray(jax.grad(loss)(q))
+    assert np.isfinite(g).all()
+
+
 def test_pairwise_distance_bias_layout():
     centers = jnp.asarray([[[0.0, 0, 0], [3.0, 4.0, 0]]])
     w = np.asarray(pairwise_distance_bias(centers))

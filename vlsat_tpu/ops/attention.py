@@ -10,9 +10,50 @@ key-padding mask and the distance bias is a single batched pairwise op.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+# Above a per-(batch, head)-slice score size of ~7M elements (Nq*Nk), the
+# handwritten mask->exp->normalize chain stops fusing into a streaming
+# softmax and XLA materializes the full (B, H, Nq, Nk) f32 temporaries in
+# HBM: at bucket 64 (E=4032, Nq*Nk=16.3M, B=4) it measured 108 ms/call
+# where jax.nn.dot_product_attention's lowering ran the same math in
+# 8.8 ms (~77% MXU) — the entire "bucket-64 forward cliff" of the round-4
+# sweep.  The onset is a SLICE-size cliff, not a total-size one — probed
+# on the v5e (B=4, H=8, D=64):
+#   E=2560 (slice 6.55M): handwritten 2.60 ms vs dpa 4.46 ms  (keep)
+#   E=2816 (slice 7.93M): handwritten 10.29 ms vs dpa 3.91 ms (route)
+# while bucket 48 (E=2256, slice 5.09M) stays handwritten-faster up
+# through B=32 (sweep: hand 95.5 ms vs dpa 106.6 ms at B=32) even though
+# its TOTAL crosses 1.3G elements there.  A secondary total-size gate
+# catches the very-large-batch regime where dpa wins again despite a
+# sub-cliff slice (bucket 48 B=64, total 2.61G: hand 215.0 ms vs dpa
+# 162.5 ms).  Below both gates the handwritten core WINS and every
+# previously-benched shape stays on its round-3 codepath bit-for-bit.
+# Tests override LARGE_SCORE_ELEMENTS to exercise the large-score path
+# on small shapes.
+LARGE_SCORE_SLICE = 7 * 1024 * 1024            # Nq*Nk, between the probe points
+LARGE_SCORE_ELEMENTS = 2 * 1024 * 1024 * 1024  # B*H*Nq*Nk, between B=32/B=64 @ bucket 48
+
+
+def _dpa_large(q, k, v, mask, bias):
+    """Large-score attention via jax.nn.dot_product_attention (same
+    (B, N, H, D) head-last layout), preserving the handwritten core's
+    fully-masked-row semantics: rows with no valid key return ZEROS
+    (dot_product_attention would softmax all -inf logits into NaN), so
+    such rows are first unmasked (their output is garbage either way —
+    callers discard padded rows) and then zeroed."""
+    any_valid = None
+    if mask is not None:
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)   # (B, 1|H, Nq, 1)
+        mask = mask | ~any_valid
+    out = jax.nn.dot_product_attention(q, k, v, bias=bias, mask=mask)
+    if any_valid is not None:
+        row_ok = jnp.moveaxis(any_valid, 1, 2)              # (B, Nq, 1|H, 1)
+        out = jnp.where(row_ok, out, jnp.zeros((), out.dtype))
+    return out
 
 
 def masked_attention(
@@ -66,7 +107,21 @@ def masked_attention_bnhd(
     lower to real layout-copy ops (same pathology as the round-2b
     ``ChannelDense`` fix, PERFORMANCE.md).  mask/bias still broadcast to
     (B, H, Nq, Nk).  Returns (B, Nq, H, Dv).
+
+    Score matrices above ``LARGE_SCORE_SLICE`` per (batch, head) slice or
+    ``LARGE_SCORE_ELEMENTS`` total route through
+    ``jax.nn.dot_product_attention`` (see the constants' comment — the
+    edge-level cross-attention at bucket >= ~56 at any batch, and bucket
+    48 at B >= 64); the multiplicative-bias path (reference way='mul',
+    dead in the shipped configs) has no dpa equivalent and always takes
+    the handwritten chain.
     """
+    b, h = q.shape[0], q.shape[-2]
+    slice_scores = q.shape[-3] * k.shape[-3]
+    n_scores = b * h * slice_scores
+    large = slice_scores >= LARGE_SCORE_SLICE or n_scores >= LARGE_SCORE_ELEMENTS
+    if large and (bias is None or bias_way == "add"):
+        return _dpa_large(q, k, v, mask, bias)
     scale = jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
     att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / scale
     if bias is not None:
