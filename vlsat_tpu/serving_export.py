@@ -174,7 +174,7 @@ class ExportedEvalStep:
             raise ValueError(
                 f"artifact expects ({m['num_points']}, {m['point_dim']}) "
                 f"points/channels, got {tuple(batch.obj_points.shape[2:])}")
-        out = mod.call(
+        out = mod(
             np.asarray(batch.obj_points, np.float32),
             np.asarray(batch.obj_mask, bool),
             np.asarray(batch.descriptor, np.float32),
@@ -194,8 +194,16 @@ def load_serving_artifact(path: str) -> ExportedEvalStep:
         raise ValueError(
             f"unsupported artifact format {manifest.get('format_version')} "
             f"(loader supports {_FORMAT_VERSION})")
+    import jax
+
     modules = {}
     for bucket, entry in manifest["buckets"].items():
         with open(os.path.join(path, entry["file"]), "rb") as f:
-            modules[int(bucket)] = jexport.deserialize(bytearray(f.read()))
+            exp = jexport.deserialize(bytearray(f.read()))
+        # jit the exported call ONCE per bucket: Exported.call rebuilds its
+        # call graph on every invocation, which measured ~4x slower than the
+        # live jitted server under load (PERFORMANCE.md round-4 serving
+        # table); a stable jitted callable hits jax's C++ dispatch fast path
+        # on every repeat dispatch.
+        modules[int(bucket)] = jax.jit(exp.call)
     return ExportedEvalStep(manifest, modules, path)
