@@ -404,7 +404,10 @@ def main():
     with server:
         server.predict(pool[0], timeout=1800)  # warm bucket 12
         server.predict(pool[6], timeout=1800)  # warm bucket 16
-        sres = bench_server(server, pool, duration_s=3.0, clients=8)
+        # 64 closed-loop clients saturate the micro-batcher (batch fill
+        # ~31/32); low-concurrency + naive/HTTP/AOT points are in the
+        # PERFORMANCE.md serving table
+        sres = bench_server(server, pool, duration_s=5.0, clients=64)
 
     # ---- host<->device link context (e2e numbers are link-sensitive on
     # remote-TPU tunnels; these let a reader normalize them) -------------
@@ -463,8 +466,8 @@ def main():
         "eval_e2e_bucketmix_iqr": eval_mix_iqr,
         "train_e2e_bucketmix_scenes_per_sec": train_mix,
         "train_e2e_bucketmix_iqr": train_mix_iqr,
-        # sustained micro-batching serving rate (8 closed-loop clients,
-        # max_batch 32, deadline 5 ms, 3D-only branch)
+        # sustained micro-batching serving rate (64 closed-loop clients —
+        # saturated batcher, max_batch 32, deadline 5 ms, 3D-only branch)
         "serving_scenes_per_sec": round(sres["scenes_per_sec"], 2),
         "serving_p50_latency_ms": round(sres["p50_latency_ms"], 2),
         "serving_p99_latency_ms": round(sres["p99_latency_ms"], 2),
