@@ -142,7 +142,7 @@ def main():
             t0 = time.perf_counter()
             nb = sum(1 for _ in loader)
             res[tag] = round(time.perf_counter() - t0, 1)
-            res[tag.replace("_s", "_scenes_per_sec")] = round(
+            res[tag[:-2] + "_scenes_per_sec"] = round(
                 args.num_scans / res[tag], 1)
             print(f"{tag}: {res[tag]}s ({nb} batches)", flush=True)
 
