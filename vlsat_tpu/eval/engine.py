@@ -90,6 +90,15 @@ def _metric_parts(out, batch: SceneBatch, single_label: bool,
         # vmapped lax.map — bound B*chunk to keep it a few hundred MB even
         # if XLA materializes it (it usually fuses into the count reduce)
         chunk = max(8, min(batch.num_edges, 4096 // max(batch.num_scenes, 1)))
+        # lane-tile raggedness: a chunk that sticks just past a 128
+        # boundary compiles ~10x slower than the 128-multiple below it
+        # (bucket 12, E=132: 2.00 ms vs 0.21 ms at chunk=128 on the v5e —
+        # the source of the round-4 sweep's bucket-12 small-batch anomaly,
+        # PERFORMANCE.md).  Shapes with a substantial tail (E=240, 552,
+        # 992) measure FASTER single-chunk, so only trim near-boundary
+        # tails.
+        if chunk > 128 and chunk % 128 < 32:
+            chunk = (chunk // 128) * 128
         tr, tng = jax.vmap(
             partial(triplet_rank_parts, topk=101, chunk=chunk)
         )(ol, batch.gt_class, rc_trip, batch.edge_index)
