@@ -171,6 +171,38 @@ def test_masked_attention_bnhd_large_score_grad_finite(monkeypatch):
     assert np.isfinite(g).all()
 
 
+def test_masked_attention_bnhd_factored_masks_match_dense(monkeypatch):
+    """q_mask/k_mask are the factored form of the rectangular padding mask
+    q&k — outputs must be BIT-identical to the dense product on the
+    handwritten chain and numerically identical on the dpa route,
+    including a scene with zero valid keys (all outputs zero)."""
+    import vlsat_tpu.ops.attention as A
+
+    rng = np.random.RandomState(11)
+    B, N, H, D = 3, 6, 2, 8
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) for _ in range(3))
+    qm = np.ones((B, N), bool)
+    km = np.ones((B, N), bool)
+    qm[0, 4:] = False
+    km[0, 3:] = False
+    qm[2] = False          # scene with nothing valid at all
+    km[2] = False
+    dense = jnp.asarray((qm[:, None, :, None] & km[:, None, None, :]))
+    qm, km = jnp.asarray(qm), jnp.asarray(km)
+
+    for gate in (1 << 62, 1):
+        monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", gate)
+        ref = np.asarray(A.masked_attention_bnhd(q, k, v, mask=dense))
+        out = np.asarray(A.masked_attention_bnhd(q, k, v, q_mask=qm, k_mask=km))
+        assert np.isfinite(out).all()
+        if gate > 1:
+            np.testing.assert_array_equal(out, ref)   # handwritten: bit-exact
+        else:
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(out[0, 4:], 0.0)   # padded query rows
+        np.testing.assert_allclose(out[2], 0.0)       # fully-empty scene
+
+
 def test_pairwise_distance_bias_layout():
     centers = jnp.asarray([[[0.0, 0, 0], [3.0, 4.0, 0]]])
     w = np.asarray(pairwise_distance_bias(centers))

@@ -66,7 +66,10 @@ class MMG(nn.Module):
         — at deployment the 3D branch runs by itself (paper protocol),
         skipping half the edge-GEMM FLOPs."""
         node_mask = (obj_mask[:, None, None, :] & obj_mask[:, None, :, None])
-        edge_att_mask = (edge_mask[:, None, None, :] & edge_mask[:, None, :, None])
+        # the edge-level mask stays FACTORED (q_mask/k_mask into the
+        # attention core): its dense product is (B, 1, E, E) bool — 520 MB
+        # at bucket 64, B=32 — while the node-level one is (B, 1, N, N)
+        # with N <= 64 and rides next to an equally-dense distance bias
         bias = DistanceBiasMLP(self.num_heads, name="self_attn_fc")(
             pairwise_distance_bias(jax.lax.stop_gradient(obj_center))
         )
@@ -86,7 +89,8 @@ class MMG(nn.Module):
                     f2d, e2d, edge_index, edge_mask, deterministic=deterministic)
 
                 e2d = MultiHeadAttention(self.num_heads, self.dim_edge, name=f"cross_attn_rel_{i}")(
-                    e2d, e3d, e3d, mask=edge_att_mask, deterministic=deterministic)
+                    e2d, e3d, e3d, q_mask=edge_mask, k_mask=edge_mask,
+                    deterministic=deterministic)
 
             if i < self.depth - 1 or self.depth == 1:
                 # keep the f3d, f2d, e3d, e2d call ORDER of the dual-branch

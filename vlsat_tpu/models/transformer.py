@@ -29,7 +29,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, *, mask=None, bias=None, bias_way="add",
-                 deterministic: bool = True):
+                 q_mask=None, k_mask=None, deterministic: bool = True):
         h = self.num_heads
         dk = self.d_model // h
 
@@ -44,7 +44,8 @@ class MultiHeadAttention(nn.Module):
         kh = split(k, "fc_k")
         vh = split(v, "fc_v")
         out = masked_attention_bnhd(qh, kh, vh, mask=mask, bias=bias,
-                                    bias_way=bias_way)
+                                    bias_way=bias_way,
+                                    q_mask=q_mask, k_mask=k_mask)
         out = out.reshape(*q.shape[:-1], h * dk)
         out = nn.Dense(self.d_model, name="fc_o")(out)
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)

@@ -38,21 +38,37 @@ LARGE_SCORE_SLICE = 7 * 1024 * 1024            # Nq*Nk, between the probe points
 LARGE_SCORE_ELEMENTS = 2 * 1024 * 1024 * 1024  # B*H*Nq*Nk, between B=32/B=64 @ bucket 48
 
 
-def _dpa_large(q, k, v, mask, bias):
+def _dpa_large(q, k, v, mask, bias, q_mask=None, k_mask=None):
     """Large-score attention via jax.nn.dot_product_attention (same
     (B, N, H, D) head-last layout), preserving the handwritten core's
     fully-masked-row semantics: rows with no valid key return ZEROS
     (dot_product_attention would softmax all -inf logits into NaN), so
     such rows are first unmasked (their output is garbage either way —
-    callers discard padded rows) and then zeroed."""
+    callers discard padded rows) and then zeroed.  Factored q_mask/k_mask
+    (B, Nq)/(B, Nk) never build the dense (B, 1, Nq, Nk) mask: keys mask
+    as a broadcast (B, 1, 1, Nk) plane, query rows zero via the output
+    product."""
     any_valid = None
     if mask is not None:
         any_valid = jnp.any(mask, axis=-1, keepdims=True)   # (B, 1|H, Nq, 1)
         mask = mask | ~any_valid
+    dense_k = None
+    if k_mask is not None:
+        # a scene whose keys are ALL masked would softmax -inf rows into
+        # NaN; lift its key plane (outputs are zeroed below via q_mask &
+        # any_k) — (B, 1, 1, Nk), broadcast inside dpa's lowering
+        any_k = jnp.any(k_mask, axis=-1, keepdims=True)     # (B, 1)
+        dense_k = (k_mask | ~any_k)[:, None, None, :]
+        mask = dense_k if mask is None else mask & dense_k
     out = jax.nn.dot_product_attention(q, k, v, bias=bias, mask=mask)
+    zero = jnp.zeros((), out.dtype)
     if any_valid is not None:
         row_ok = jnp.moveaxis(any_valid, 1, 2)              # (B, Nq, 1|H, 1)
-        out = jnp.where(row_ok, out, jnp.zeros((), out.dtype))
+        out = jnp.where(row_ok, out, zero)
+    if k_mask is not None:
+        out = jnp.where(any_k[:, :, None, None], out, zero)
+    if q_mask is not None:
+        out = jnp.where(q_mask[:, :, None, None], out, zero)
     return out
 
 
@@ -98,6 +114,8 @@ def masked_attention_bnhd(
     mask: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
     bias_way: str = "add",
+    q_mask: jnp.ndarray | None = None,
+    k_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Head-LAST attention core: q/k/v are (B, N, H, D) and stay that way.
 
@@ -107,6 +125,16 @@ def masked_attention_bnhd(
     lower to real layout-copy ops (same pathology as the round-2b
     ``ChannelDense`` fix, PERFORMANCE.md).  mask/bias still broadcast to
     (B, H, Nq, Nk).  Returns (B, Nq, H, Dv).
+
+    ``q_mask``/``k_mask`` ((B, Nq)/(B, Nk) bool) are the FACTORED form of
+    the rectangular padding mask ``q_mask & k_mask`` every call site of
+    the dense ``mask`` builds (network_MMG.py's block-diagonal masks are
+    exactly such products): keys mask as a broadcast plane pre-softmax,
+    padded query rows zero via an output product — bit-identical to the
+    dense mask, without ever materializing (B, 1, Nq, Nk).  At the
+    edge-level cross-attention that dense bool is B*E^2 — 520 MB at
+    bucket 64, B=32 — and was the reason large-bucket eval hit the
+    compile-helper wall one batch size earlier than the math required.
 
     Score matrices above ``LARGE_SCORE_SLICE`` per (batch, head) slice or
     ``LARGE_SCORE_ELEMENTS`` total route through
@@ -121,19 +149,27 @@ def masked_attention_bnhd(
     n_scores = b * h * slice_scores
     large = slice_scores >= LARGE_SCORE_SLICE or n_scores >= LARGE_SCORE_ELEMENTS
     if large and (bias is None or bias_way == "add"):
-        return _dpa_large(q, k, v, mask, bias)
+        return _dpa_large(q, k, v, mask, bias, q_mask=q_mask, k_mask=k_mask)
     scale = jnp.sqrt(jnp.asarray(q.shape[-1], q.dtype))
     att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / scale
     if bias is not None:
         att = att + bias if bias_way == "add" else att * bias
+    if k_mask is not None:
+        kp = k_mask[:, None, None, :]                       # (B, 1, 1, Nk)
+        att = jnp.where(kp, att, NEG_INF)
     if mask is not None:
         att = jnp.where(mask, att, NEG_INF)
     att = jnp.exp(att - jnp.max(att, axis=-1, keepdims=True))
+    if k_mask is not None:
+        att = jnp.where(kp, att, 0.0)
     if mask is not None:
         att = jnp.where(mask, att, 0.0)
     denom = jnp.sum(att, axis=-1, keepdims=True)
     att = att / jnp.maximum(denom, 1e-20)
-    return jnp.einsum("bhqk,bkhv->bqhv", att, v)
+    out = jnp.einsum("bhqk,bkhv->bqhv", att, v)
+    if q_mask is not None:
+        out = jnp.where(q_mask[:, :, None, None], out, jnp.zeros((), out.dtype))
+    return out
 
 
 def pairwise_distance_bias(centers: jnp.ndarray) -> jnp.ndarray:
