@@ -95,6 +95,25 @@ def test_dataset_end_to_end(mini_dataset, tmp_path):
     # disk cache created and reused
     assert any(f.endswith(".npz") for f in os.listdir(tmp_path / "cache"))
 
+    # a torn/partial cache file (pre-atomic-write crash, or a concurrent
+    # pack worker killed mid-savez) must be re-parsed and rewritten, not
+    # crash every later run (round-5 review fix: atomic tmp+os.replace)
+    cache_files = [tmp_path / "cache" / f
+                   for f in os.listdir(tmp_path / "cache") if f.endswith(".npz")]
+    for torn in cache_files:
+        with open(torn, "wb") as f:
+            f.write(b"PK\x03\x04 definitely not a complete zip")
+    ds2 = SSGScenes(root, scans, "train_scans", cache_root=str(tmp_path / "cache"))
+    s2 = ds2.prepare(0, np.random.RandomState(0))
+    np.testing.assert_array_equal(s2["gt_class"], s["gt_class"])
+    for i in range(1, len(ds2)):
+        ds2.prepare(i, np.random.RandomState(0))
+    for torn in cache_files:
+        with np.load(torn) as z:  # rewritten caches are loadable again
+            assert "points" in z
+    assert not any(f.endswith(".tmp.npz")
+                   for f in os.listdir(tmp_path / "cache"))
+
     loader = SceneLoader(ds, batch_size=2, shuffle=True, for_train=True)
     batches = list(loader)
     assert len(batches) == 2

@@ -135,6 +135,32 @@ def test_masked_attention_bnhd_large_score_routes_to_dpa(monkeypatch):
             np.testing.assert_allclose(out[0, 2], 0.0)  # masked row -> zeros
 
 
+def test_masked_attention_bnhd_mask_and_kmask_intersection(monkeypatch):
+    """Round-5 review fix: when BOTH mask and k_mask are given and their
+    intersection empties a query row that was non-empty under mask alone,
+    the dpa route must return zeros for that row (like the handwritten
+    chain), not softmax an all-False row into NaN."""
+    import vlsat_tpu.ops.attention as A
+
+    rng = np.random.RandomState(13)
+    B, N, H, D = 2, 5, 2, 8
+    q, k, v = (jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) for _ in range(3))
+    mask = np.ones((B, 1, N, N), bool)
+    mask[0, 0, 1, :2] = False        # row 1 attends keys 2..4 under mask
+    km = np.ones((B, N), bool)
+    km[0, 2:] = False                # ...but k_mask kills keys 2..4
+    mask, km = jnp.asarray(mask), jnp.asarray(km)
+
+    for gate in (1 << 62, 1):
+        monkeypatch.setattr(A, "LARGE_SCORE_ELEMENTS", gate)
+        out = np.asarray(A.masked_attention_bnhd(q, k, v, mask=mask, k_mask=km))
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out[0, 1], 0.0)  # emptied row -> zeros
+        if gate > 1:
+            ref = out
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_masked_attention_bnhd_mul_bias_never_routes(monkeypatch):
     """way='mul' has no dot_product_attention equivalent; it must stay on
     the handwritten chain even above the size gate."""

@@ -126,8 +126,11 @@ def main():
                 workers=args.workers,
                 scenes_factory=partial(build_scenes, kwargs)
                 if args.workers else None)
-    res["pack_build_s"] = round(time.perf_counter() - t0, 1)
-    res["pack_scenes_per_sec"] = round(args.num_scans / res["pack_build_s"], 1)
+    # rates divide the UNROUNDED elapsed time: a small --num-scans smoke
+    # run can round a fast phase to 0.0 s (ZeroDivisionError otherwise)
+    pack_t = max(time.perf_counter() - t0, 1e-9)
+    res["pack_build_s"] = round(pack_t, 1)
+    res["pack_scenes_per_sec"] = round(args.num_scans / pack_t, 1)
     res["pack_bytes"] = dir_bytes(pack_dir)
     print(f"pack build: {res['pack_build_s']}s "
           f"({res['pack_scenes_per_sec']} scenes/s, workers={args.workers}), "
@@ -141,9 +144,10 @@ def main():
         for tag in ("epoch0_stream_s", "epoch_warm_stream_s"):
             t0 = time.perf_counter()
             nb = sum(1 for _ in loader)
-            res[tag] = round(time.perf_counter() - t0, 1)
+            ep_t = max(time.perf_counter() - t0, 1e-9)
+            res[tag] = round(ep_t, 1)
             res[tag[:-2] + "_scenes_per_sec"] = round(
-                args.num_scans / res[tag], 1)
+                args.num_scans / ep_t, 1)
             print(f"{tag}: {res[tag]}s ({nb} batches)", flush=True)
 
     # -- 6. packed epoch ---------------------------------------------------
@@ -153,9 +157,10 @@ def main():
     sum(1 for _ in ploader)  # prime the mmaps / page cache
     t0 = time.perf_counter()
     nb = sum(1 for _ in ploader)
-    res["epoch_packed_s"] = round(time.perf_counter() - t0, 2)
+    packed_t = max(time.perf_counter() - t0, 1e-9)
+    res["epoch_packed_s"] = round(packed_t, 2)
     res["epoch_packed_scenes_per_sec"] = round(
-        args.num_scans / res["epoch_packed_s"], 1)
+        args.num_scans / packed_t, 1)
     print(f"packed epoch: {res['epoch_packed_s']}s ({nb} batches)", flush=True)
 
     if "epoch_warm_stream_s" in res:

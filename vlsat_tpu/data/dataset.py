@@ -137,10 +137,16 @@ class SSGScenes:
                   else f".c{int(self.use_rgb)}{int(self.use_normal)}")
         npz_path = (os.path.join(self.cache_root, f"{scan}{suffix}.npz")
                     if self.cache_root else None)
+        mesh = None
         if npz_path and os.path.exists(npz_path):
-            z = np.load(npz_path)
-            mesh = {"points": z["points"], "instances": z["instances"]}
-        else:
+            # tolerate a torn/partial cache file (e.g. killed writer from a
+            # pre-atomic-write build): fall through to re-parse + rewrite
+            try:
+                z = np.load(npz_path)
+                mesh = {"points": z["points"], "instances": z["instances"]}
+            except Exception:
+                mesh = None
+        if mesh is None:
             path = os.path.join(self.scans_root, scan, self.label_file)
             mesh = None
             if self._native is not None and self.dim_pts == 3:
@@ -174,8 +180,22 @@ class SSGScenes:
             if npz_path:
                 # uncompressed: savez_compressed made cache-building ~5x
                 # slower than the parse it caches (~450 KB/scan raw —
-                # ~0.5 GB for the full 3RScan split, cheap on disk)
-                np.savez(npz_path, **mesh)
+                # ~0.5 GB for the full 3RScan split, cheap on disk).
+                # Written atomically (tmp + os.replace): parallel pack
+                # workers share this cache and 3DSSG has multiple scenes
+                # per scan, so two processes can hit the same scan
+                # concurrently — a non-atomic savez left torn files that
+                # poisoned later runs.  The tmp name keeps the .npz suffix
+                # (np.savez appends it otherwise) and is per-pid so
+                # concurrent writers never collide; both produce the same
+                # bytes, so last-replace-wins is benign.
+                tmp = f"{npz_path}.{os.getpid()}.tmp.npz"
+                try:
+                    np.savez(tmp, **mesh)
+                    os.replace(tmp, npz_path)
+                finally:
+                    if os.path.exists(tmp):
+                        os.remove(tmp)
         self._mesh_cache[scan] = mesh
         while len(self._mesh_cache) > self._mesh_cache_size:
             self._mesh_cache.popitem(last=False)

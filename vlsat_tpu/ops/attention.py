@@ -48,18 +48,23 @@ def _dpa_large(q, k, v, mask, bias, q_mask=None, k_mask=None):
     (B, Nq)/(B, Nk) never build the dense (B, 1, Nq, Nk) mask: keys mask
     as a broadcast (B, 1, 1, Nk) plane, query rows zero via the output
     product."""
-    any_valid = None
-    if mask is not None:
-        any_valid = jnp.any(mask, axis=-1, keepdims=True)   # (B, 1|H, Nq, 1)
-        mask = mask | ~any_valid
-    dense_k = None
+    any_k = None
     if k_mask is not None:
         # a scene whose keys are ALL masked would softmax -inf rows into
         # NaN; lift its key plane (outputs are zeroed below via q_mask &
         # any_k) — (B, 1, 1, Nk), broadcast inside dpa's lowering
         any_k = jnp.any(k_mask, axis=-1, keepdims=True)     # (B, 1)
-        dense_k = (k_mask | ~any_k)[:, None, None, :]
-        mask = dense_k if mask is None else mask & dense_k
+    any_valid = None
+    if mask is not None:
+        if k_mask is not None:
+            # intersect BEFORE the row-validity check: a query row whose
+            # mask∩k_mask is empty (but mask alone non-empty) must hit the
+            # zeroing path below, not softmax an all-False row into NaN
+            mask = mask & k_mask[:, None, None, :]
+        any_valid = jnp.any(mask, axis=-1, keepdims=True)   # (B, 1|H, Nq, 1)
+        mask = mask | ~any_valid
+    elif k_mask is not None:
+        mask = (k_mask | ~any_k)[:, None, None, :]
     out = jax.nn.dot_product_attention(q, k, v, bias=bias, mask=mask)
     zero = jnp.zeros((), out.dtype)
     if any_valid is not None:
