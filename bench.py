@@ -32,6 +32,112 @@ import time
 from functools import partial
 
 
+def probe_link(reps: int = 10, blob_mb: int = 64) -> dict:
+    """Measure the host<->device link state RIGHT NOW: dispatch round-trip
+    latency (median of ``reps`` noop dispatch+syncs), H2D bandwidth
+    (device_put of a ``blob_mb`` MB buffer) and D2H bandwidth (full fetch
+    of the same buffer).  E2E rates through a remote-TPU tunnel are
+    link-sensitive (round-4 finding: the same code measured 3,742 vs
+    2,622 eval scenes/s at 117 vs 29 MB/s H2D), so every e2e band records
+    the link state probed IMMEDIATELY before it — one global probe cannot
+    triage a per-metric anomaly after the fact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    noop = jax.jit(lambda x: x + 1)
+    noop(jnp.float32(0)).block_until_ready()
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        noop(jnp.float32(i)).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(ts)) * 1e3
+    blob = np.ones((blob_mb, 1024, 1024 // 4), np.float32)
+    dev = jax.device_put(blob)
+    dev.block_until_ready()
+    t0 = time.perf_counter()
+    dev2 = jax.device_put(blob)
+    dev2.block_until_ready()
+    h2d = blob_mb / (time.perf_counter() - t0)
+    np.asarray(dev)  # warm the fetch path
+    t0 = time.perf_counter()
+    np.asarray(dev2)
+    d2h = blob_mb / (time.perf_counter() - t0)
+    return {"rtt_ms": round(rtt_ms, 2), "h2d_MBps": round(h2d, 1),
+            "d2h_MBps": round(d2h, 1)}
+
+
+def predict_rate(model: dict, rtt_ms: float, h2d_MBps: float,
+                 d2h_MBps: float | None = None) -> float:
+    """Scenes/s the link-cost model predicts at a given link state.
+
+    t_unit(link) = t_nolink + n_rtt*rtt + h2d_bytes/bw_h2d + d2h_bytes/bw_d2h
+
+    ``d2h_MBps`` defaults to ``h2d_MBps`` (older captures probed only the
+    H2D direction)."""
+    d2h = d2h_MBps if d2h_MBps else h2d_MBps
+    t = (model["t_nolink_s"] + model["n_rtt"] * rtt_ms / 1e3
+         + model["h2d_bytes"] / max(h2d_MBps * 1e6, 1.0)
+         + model["d2h_bytes"] / max(d2h * 1e6, 1.0))
+    return model["unit_scenes"] / max(t, 1e-9)
+
+
+def link_cost_model(unit_scenes: float, rate: float, link: dict,
+                    n_rtt: float, h2d_bytes: float = 0.0,
+                    d2h_bytes: float = 0.0,
+                    rate_best: float | None = None) -> dict:
+    """Decompose a measured e2e rate into link-independent time plus link
+    terms, so the number is FALSIFIABLE at any other link state (round-5:
+    the round-4 capture ran on a degraded tunnel and contradicted the
+    committed numbers with no way to tell "slow link" from "regression").
+
+    The structural parameters are derived from the pipeline, not fitted:
+      n_rtt      — dispatch/fetch round trips that SERIALIZE with the
+                   pass (overlapped ones — prefetch threads, pooled
+                   fetches hidden under compute — count 0);
+      h2d_bytes  — bytes whose TRANSFER saturates the pass (a double
+                   buffer hides latency, not bandwidth);
+      d2h_bytes  — same, device->host direction.
+    t_nolink is measured − link terms, calibrated from ``rate_best``
+    (the band's FASTEST pass) when given: per-pass link jitter only ever
+    ADDS time, so the least-contended pass is the closest observation of
+    the link-independent floor — a jitter-inflated median would leak the
+    calibrating session's link weather into a constant that must
+    transfer across sessions.  tools/link_validate.py back-predicts the
+    round-3 (fast link) and round-4 (slow link) driver captures from
+    these models.
+    """
+    t_unit = unit_scenes / (rate_best or rate)
+    link_s = (n_rtt * link["rtt_ms"] / 1e3
+              + h2d_bytes / (link["h2d_MBps"] * 1e6)
+              + d2h_bytes / (link["d2h_MBps"] * 1e6))
+    t_nolink = max(t_unit - link_s, 0.0)
+    m = {"unit_scenes": float(unit_scenes), "n_rtt": float(n_rtt),
+         "h2d_bytes": int(h2d_bytes), "d2h_bytes": int(d2h_bytes),
+         "t_nolink_s": round(t_nolink, 6), "link": link,
+         "measured_median": round(float(rate), 2)}
+    if rate_best:
+        m["measured_best"] = round(float(rate_best), 2)
+    m["predicted_here"] = round(predict_rate(
+        m, link["rtt_ms"], link["h2d_MBps"], link["d2h_MBps"]), 2)
+    return m
+
+
+def tree_nbytes(batch) -> int:
+    import jax
+
+    return int(sum(l.nbytes for l in jax.tree_util.tree_leaves(batch)))
+
+
+def packed_d2h_bytes(b: int, n: int, e: int, gt_cap: int,
+                     tags: int = 2) -> int:
+    """uint8 D2H payload of one fused eval batch (eval/engine.py
+    _make_pack ordering: per tag obr (B,N) + prv/trv (B,E,gt_cap), plus
+    the shared preds (B,E,gt_cap))."""
+    return tags * (b * n + 2 * b * e * gt_cap) + b * e * gt_cap
+
+
 def make_eval_many(model):
     """Build the carry-chained eval scan used for device-true timing.
 
@@ -255,10 +361,19 @@ def main():
     E2E_REPS = int(os.environ.get("VLSAT_BENCH_E2E_REPS", "5"))
 
     def band(fn, reps=E2E_REPS):
+        """(median, IQR, best) rate over ``reps`` passes.  The median is
+        the headline; the BEST (fastest) pass calibrates the link-cost
+        models' t_nolink — per-pass link jitter (RTT spikes, tunnel
+        contention) only ever ADDS time, so the least-contended pass is
+        the closest observation of the link-independent floor, while a
+        jitter-inflated median would leak today's link weather into a
+        constant that must transfer across sessions (the r03
+        back-prediction failed at -18.8% under a median calibration)."""
         vals = [fn() for _ in range(reps)]
         return (round(float(np.median(vals)), 2),
                 round(float(np.percentile(vals, 75)
-                            - np.percentile(vals, 25)), 2))
+                            - np.percentile(vals, 25)), 2),
+                round(float(np.max(vals)), 2))
 
     eval_step = make_eval_step(model)
 
@@ -274,12 +389,44 @@ def main():
     # (metrics bit-identical, tests/test_resident.py)
     grouped = ResidentGroupedEval(resident, 32, group=4)
     e2e_pass(grouped, len(packed))  # warm
-    eval_e2e, eval_e2e_iqr = band(lambda: e2e_pass(grouped, len(packed)))
+    link_eval = probe_link()
+    eval_e2e, eval_e2e_iqr, eval_e2e_best = band(
+        lambda: e2e_pass(grouped, len(packed)))
+    # link model: each K=4 group serializes ONE dispatch->fetch round trip
+    # (the 4-batch packed payload streams under the NEXT group's ~20 ms of
+    # compute via copy_to_host_async, so only the latency counts); inputs
+    # are resident, so H2D is the (K, B) int32 index payload per group
+    n_batches = -(-len(packed) // 32)
+    n_groups = -(-n_batches // 4)
+    gt_cap = packed.max_gt
+    models = {}
+    models["eval_e2e_scenes_per_sec"] = link_cost_model(
+        len(packed), eval_e2e, link_eval, n_rtt=n_groups,
+        h2d_bytes=n_groups * 4 * 32 * 4, rate_best=eval_e2e_best)
 
     streaming = PackedLoader(packed, batch_size=32)
     e2e_pass(streaming, len(packed))  # warm
-    eval_e2e_streaming, eval_e2e_streaming_iqr = band(
+    link_stream = probe_link()
+    eval_e2e_streaming, eval_e2e_streaming_iqr, eval_stream_best = band(
         lambda: e2e_pass(streaming, len(packed)))
+    # link model: the H2D double buffer + pooled fetches hide LATENCY
+    # (n_rtt=0) but not BANDWIDTH — every batch's wire payload and packed
+    # output still crosses the saturated link (the round-4 slow-link
+    # collapse: 297 scenes/s at 29 MB/s vs 1,202 at 117 MB/s — the
+    # finding behind the round-5 f16/u8 wire format, data/wire.py).
+    # h2d_bytes is the ACTUAL wire payload; h2d_bytes_f32 is what the
+    # pre-slimming code shipped, used to back-predict the r03/r04
+    # captures (tools/link_validate.py).
+    from vlsat_tpu.data.wire import wire_nbytes
+
+    host_b = next(iter(streaming))
+    models["eval_e2e_streaming_scenes_per_sec"] = link_cost_model(
+        len(packed), eval_e2e_streaming, link_stream, n_rtt=0,
+        h2d_bytes=n_batches * wire_nbytes(host_b),
+        d2h_bytes=n_batches * packed_d2h_bytes(32, 16, 240, gt_cap),
+        rate_best=eval_stream_best)
+    models["eval_e2e_streaming_scenes_per_sec"]["h2d_bytes_f32"] = (
+        n_batches * tree_nbytes(host_b))
 
     # train e2e: DEVICE-RESIDENT packed split (data/resident.py) — the
     # split's tensors ship to HBM once; each dispatch carries a (K*B,)
@@ -326,8 +473,19 @@ def main():
 
     counts1 = {bkt: packed.count(bkt)}
     step1 = lambda b, st, perm, key: res_multi(st, perm, key)
-    train_e2e, train_e2e_iqr = band(
+    link_train = probe_link()
+    train_e2e, train_e2e_iqr, train_e2e_best = band(
         lambda: train_epochs(step1, counts1, K * B_TR, tr_box, seed=2))
+    # link model: resident train dispatch enqueues are async and overlap
+    # device compute — only the FINAL loss sync serializes a round trip
+    # (the r03->r04 captures confirm: 1,946 -> 1,988 scenes/s across a
+    # 24.6 -> 38.8 ms RTT swing, i.e. link-insensitive); H2D per group is
+    # the (K*B,) int32 permutation
+    tr_groups = sum(c // (K * B_TR) for c in counts1.values()) * 2  # 2 epochs
+    tr_unit = tr_groups * K * B_TR
+    models["train_e2e_scenes_per_sec"] = link_cost_model(
+        tr_unit, train_e2e, link_train, n_rtt=1,
+        h2d_bytes=tr_groups * K * B_TR * 4, rate_best=train_e2e_best)
 
     # ---- BUCKET-MIX e2e (round-4): the REAL validation shape distribution.
     # The 3DSSG validation split is pre-split into <= 9-object subgraphs
@@ -365,8 +523,41 @@ def main():
     resident_mix = ResidentScenes(packed_mix)
     grouped_mix = ResidentGroupedEval(resident_mix, 32, group=4)
     e2e_pass(grouped_mix, len(packed_mix))  # warm (one program per bucket)
-    eval_mix, eval_mix_iqr = band(
+    link_mix = probe_link()
+    eval_mix, eval_mix_iqr, eval_mix_best = band(
         lambda: e2e_pass(grouped_mix, len(packed_mix)))
+    # same pipeline structure as the single-bucket resident grouped band:
+    # one serialized round trip per K=4 group, H2D = index payloads only
+    mix_batches = {b: -(-packed_mix.count(b) // 32)
+                   for b in packed_mix.buckets}
+    mix_groups = sum(-(-nb // 4) for nb in mix_batches.values())
+    models["eval_e2e_bucketmix_scenes_per_sec"] = link_cost_model(
+        len(packed_mix), eval_mix, link_mix, n_rtt=mix_groups,
+        h2d_bytes=mix_groups * 4 * 32 * 4, rate_best=eval_mix_best)
+
+    # ---- BUCKET-MIX MFU (round-5): FLOP-weighted over the real shape
+    # histogram.  The headline eval_mfu lives at the bucket-16 demo shape;
+    # the production mix lands in buckets 8+12 where per-batch programs
+    # earn fewer FLOPs per byte.  Numerator: compiled cost_analysis FLOPs
+    # of the per-batch fused program (forward + rank kernels + D2H pack —
+    # exactly what each dispatched scan step runs) x the number of
+    # assembled batches per bucket (tail-group repeat rows are computed
+    # but discarded, so they are NOT useful work and are excluded).
+    # Denominator: the measured median pass time at the probed link.
+    from vlsat_tpu.eval.engine import _make_pack
+    from vlsat_tpu.scene import pad_batch_scenes
+
+    pack_fn = jax.jit(_make_pack(
+        eval_step, single_label=False, with_probs=False, with_raw=False,
+        scene_recall=False, gt_cap=packed_mix.max_gt))
+    mix_eval_flops = 0.0
+    for b in packed_mix.buckets:
+        ex = pad_batch_scenes(
+            packed_mix.batch(b, slice(0, min(32, packed_mix.count(b)))), 32)
+        fl = compiled_flops(pack_fn, params, batch_stats, ex)
+        mix_eval_flops += fl * mix_batches[b]
+    eval_mix_mfu = (mix_eval_flops * eval_mix / len(packed_mix) / peak
+                    if mix_eval_flops else None)
 
     # train over the mix: UNBOUND resident multi-step — the split rides as
     # a jit argument, so one compiled program serves each bucket shape.
@@ -381,9 +572,40 @@ def main():
         st, resident_mix.full_batch(b), perm, key)
     train_epochs(step_mix, mix_counts, K_MIX * B_TR, mix_box, seed=3,
                  n_epochs=1)  # warm: compiles both bucket programs
-    train_mix, train_mix_iqr = band(
+    link_tmix = probe_link()
+    train_mix, train_mix_iqr, train_mix_best = band(
         lambda: train_epochs(step_mix, mix_counts, K_MIX * B_TR, mix_box,
                              seed=3))
+    # resident train structure again: async dispatches, one final sync
+    tmix_groups = sum(c // (K_MIX * B_TR) for c in mix_counts.values()) * 2
+    tmix_unit = tmix_groups * K_MIX * B_TR
+    models["train_e2e_bucketmix_scenes_per_sec"] = link_cost_model(
+        tmix_unit, train_mix, link_tmix, n_rtt=1,
+        h2d_bytes=tmix_groups * K_MIX * B_TR * 4, rate_best=train_mix_best)
+
+    # bucket-mix train MFU: full train-step (fwd+loss+bwd+AdamW) FLOPs per
+    # (B_TR, bucket) batch x the batches each band pass actually runs
+    # (drop_last group semantics), over the measured pass time
+    from vlsat_tpu.train.step import _raw_train_step
+
+    raw_tr = _raw_train_step(model, opt)
+    tr_loss = jax.jit(lambda st, bt, k: raw_tr(st, bt, k)[1]["loss"])
+    mix_train_flops = 0.0
+    for b in packed_mix.buckets:
+        ex = jax.tree_util.tree_map(
+            jnp.asarray,
+            packed_mix.batch(b, slice(0, min(B_TR, packed_mix.count(b)))))
+        ex = pad_batch_scenes(ex, B_TR).replace(
+            rel_text_feat=jnp.zeros(
+                (B_TR, ex.num_edges, packed_mix.text_table.shape[-1]
+                 if packed_mix.text_table is not None else 512),
+                jnp.float32),
+            rel_text_idx=None)
+        fl = compiled_flops(tr_loss, mix_box["st"], ex,
+                            jax.random.PRNGKey(0))
+        mix_train_flops += fl * (mix_counts[b] // (K_MIX * B_TR)) * K_MIX * 2
+    train_mix_mfu = (mix_train_flops * train_mix / tmix_unit / peak
+                     if mix_train_flops else None)
 
     # ---- serving: sustained micro-batching server rate (round-4; the
     # naive/HTTP/AOT comparison table lives in PERFORMANCE.md "Serving
@@ -401,27 +623,32 @@ def main():
     eval3d_step = make_eval_step(model, branch_3d_only=True)
     server = BatchedServer(eval3d_step, params, batch_stats,
                            max_batch=32, deadline_ms=5.0)
+    SERV_CLIENTS, SERV_DURATION = 64, 5.0
     with server:
         server.predict(pool[0], timeout=1800)  # warm bucket 12
         server.predict(pool[6], timeout=1800)  # warm bucket 16
+        link_serv = probe_link()
         # 64 closed-loop clients saturate the micro-batcher (batch fill
-        # ~31/32); low-concurrency + naive/HTTP/AOT points are in the
-        # PERFORMANCE.md serving table
-        sres = bench_server(server, pool, duration_s=5.0, clients=64)
+        # ~31/32); the full latency-vs-offered-load curve lives in
+        # PERFORMANCE.md "Serving" (tools/serve.py --sweep)
+        sres = bench_server(server, pool, duration_s=SERV_DURATION,
+                            clients=SERV_CLIENTS)
+    # link model per BATCH: each micro-batch serializes one dispatch round
+    # trip, its ~2.7 MB padded input H2D (batches pad to bucket 16 once
+    # any 32-scene draw from the pool contains a >12-node scene) and the
+    # two f32 output fetches; rate = mean_batch / t_batch
+    mb = max(sres["mean_batch_size"], 1.0)
+    serv_h2d = wire_nbytes(batch)  # collated B=32 bucket-16 SceneBatch
+    serv_d2h = 32 * 16 * 160 * 4 + 32 * 240 * 26 * 4  # obj_logits+rel_cls
+    models["serving_scenes_per_sec"] = link_cost_model(
+        mb, sres["scenes_per_sec"], link_serv, n_rtt=1,
+        h2d_bytes=serv_h2d, d2h_bytes=serv_d2h)
+    models["serving_scenes_per_sec"]["h2d_bytes_f32"] = tree_nbytes(batch)
 
-    # ---- host<->device link context (e2e numbers are link-sensitive on
-    # remote-TPU tunnels; these let a reader normalize them) -------------
-    noop = jax.jit(lambda x: x + 1)
-    noop(jnp.float32(0)).block_until_ready()
-    t0 = time.perf_counter()
-    for i in range(10):
-        noop(jnp.float32(i)).block_until_ready()
-    dispatch_ms = (time.perf_counter() - t0) / 10 * 1e3
-    blob = np.ones((16, 1024, 1024), np.float32)  # 64 MB
-    jax.device_put(blob).block_until_ready()
-    t0 = time.perf_counter()
-    jax.device_put(blob).block_until_ready()
-    h2d_mbps = 64.0 / (time.perf_counter() - t0)
+    # ---- final global link probe (kept for cross-round field continuity;
+    # the per-metric states live in each model's "link" record) ----------
+    link_end = probe_link()
+    dispatch_ms, h2d_mbps = link_end["rtt_ms"], link_end["h2d_MBps"]
 
     baseline = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
@@ -466,15 +693,36 @@ def main():
         "eval_e2e_bucketmix_iqr": eval_mix_iqr,
         "train_e2e_bucketmix_scenes_per_sec": train_mix,
         "train_e2e_bucketmix_iqr": train_mix_iqr,
-        # sustained micro-batching serving rate (64 closed-loop clients —
-        # saturated batcher, max_batch 32, deadline 5 ms, 3D-only branch)
+        # FLOP-weighted MFU over the REAL validation shape histogram
+        # (buckets 8+12) — the headline eval_mfu/train_mfu live at the
+        # bucket-16 demo shape; these are the production-mix numbers
+        "eval_e2e_bucketmix_mfu": (round(eval_mix_mfu, 4)
+                                   if eval_mix_mfu else None),
+        "train_e2e_bucketmix_mfu": (round(train_mix_mfu, 4)
+                                    if train_mix_mfu else None),
+        # sustained micro-batching serving rate (closed-loop saturation
+        # point; the latency-vs-load curve is in PERFORMANCE.md)
         "serving_scenes_per_sec": round(sres["scenes_per_sec"], 2),
         "serving_p50_latency_ms": round(sres["p50_latency_ms"], 2),
         "serving_p99_latency_ms": round(sres["p99_latency_ms"], 2),
+        # closed-loop config — rates/latencies are only comparable across
+        # rounds at the same operating point (round-4 moved 8->64 clients)
+        "serving_clients": SERV_CLIENTS,
+        "serving_duration_s": SERV_DURATION,
+        "serving_mean_batch": round(sres["mean_batch_size"], 2),
         # link context: e2e rates ride the host<->device link; on remote-
         # TPU tunnels these two numbers explain most of any e2e shortfall
         "tunnel_dispatch_ms": round(dispatch_ms, 2),
         "tunnel_h2d_MBps": round(h2d_mbps, 1),
+        "tunnel_d2h_MBps": link_end["d2h_MBps"],
+        # LINK-COST MODELS (round-5): per-metric decomposition
+        # t(link) = t_nolink + n_rtt*rtt + h2d_bytes/bw + d2h_bytes/bw,
+        # with the link state probed IMMEDIATELY before each band and the
+        # model's own prediction at that state alongside — any other
+        # session can falsify these numbers at ITS link state via
+        # tools/link_validate.py (which back-predicts the r03 fast-link
+        # and r04 slow-link driver captures from these models)
+        "link_cost_models": models,
     }))
 
 

@@ -30,7 +30,11 @@ def _scene(rng, n, num_points=8):
             "obj_2d_feats": s["obj_2d_feats"]}
 
 
-def test_server_matches_direct_eval_and_batches():
+def test_server_matches_direct_eval_and_batches(monkeypatch):
+    # bit-exact wire: the server's ingest narrows to f16 by default
+    # (data/wire.py); pin f32 so the direct-eval comparison is exact, then
+    # check the default f16 wire separately below
+    monkeypatch.setenv("VLSAT_WIRE_DTYPE", "float32")
     model, params, batch_stats = _small_setup()
     step = make_eval_step(model)
     server = BatchedServer(step, params, batch_stats, max_batch=4,
@@ -62,6 +66,19 @@ def test_server_matches_direct_eval_and_batches():
             r["rel_cls"], np.asarray(direct["rel_cls_3d"])[0, :len(ei)],
             rtol=2e-5, atol=1e-5)
         assert r["edge_index"].shape == (n * (n - 1), 2)
+
+    # default f16 wire: same scenes, loose tolerance (input cast noise)
+    monkeypatch.delenv("VLSAT_WIRE_DTYPE")
+    server16 = BatchedServer(step, params, batch_stats, max_batch=4,
+                             deadline_ms=50.0, num_rel_classes=7)
+    with server16:
+        futs = [server16.submit(s) for s in scenes]
+        r16 = [f.result(timeout=120) for f in futs]
+    for r, r2 in zip(results, r16):
+        np.testing.assert_allclose(r2["obj_logits"], r["obj_logits"],
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(r2["rel_cls"], r["rel_cls"],
+                                   rtol=5e-2, atol=5e-2)
 
 
 def test_server_deadline_flush_and_bench():
@@ -99,13 +116,16 @@ def test_server_error_propagates():
             assert "boom" in str(e)
 
 
-def test_server_pads_batches_to_constant_shape():
+def test_server_pads_batches_to_constant_shape(monkeypatch):
     """pad_to_max (default): every dispatch sees exactly max_batch scenes
     regardless of how many requests were soaked, so one compiled program
     per bucket serves all load levels (variable closed-loop batch sizes
     otherwise compile a fresh (batch, bucket) program each, 20-40 s on
     TPU). Padded scenes are zero obj_mask rows the result distribution
     never reads."""
+    # the exactness comparison below needs the bit-exact f32 wire
+    # (test_server_matches_direct_eval_and_batches covers the f16 default)
+    monkeypatch.setenv("VLSAT_WIRE_DTYPE", "float32")
     model, params, batch_stats = _small_setup()
     step = make_eval_step(model)
     seen_shapes = []
@@ -141,8 +161,9 @@ def test_server_pads_batches_to_constant_shape():
         rs[0]["obj_logits"], r0["obj_logits"], rtol=1e-6, atol=1e-6)
 
 
-def test_http_frontend_predict_and_health():
+def test_http_frontend_predict_and_health(monkeypatch):
     """POST /predict (npz in, npz out) matches direct eval; /healthz counts."""
+    monkeypatch.setenv("VLSAT_WIRE_DTYPE", "float32")  # exactness check
     import io
     import json as _json
     import urllib.request

@@ -185,6 +185,13 @@ def _make_pack(eval_step, single_label: bool, with_probs: bool,
     sr_keys = [f"{n}_{t2}" for n, _ in SR_COMBOS for t2, _ in SR_VARIANTS]
 
     def pack(params, batch_stats, batch):
+        # wire-format batches (f16 points/features, u8 gt_rels — the
+        # streaming H2D path, data/wire.py) widen to f32 here, inside the
+        # fused jit; f32 batches trace the identity, so resident loaders
+        # compile the exact round-4 program
+        from vlsat_tpu.data.wire import decode_wire
+
+        batch = decode_wire(batch)
         out = eval_step(params, batch_stats, batch)
         parts = _metric_parts(out, batch, single_label=single_label,
                               with_probs=with_probs, with_raw=with_raw,
@@ -504,7 +511,17 @@ def evaluate(
         # (tests/test_resident.py equality gates run through this path).
         # Already-paired items (ResidentEvalLoader) and device-placed
         # batches (shard_eval_batches output) pass through untouched.
+        #
+        # WIRE FORMAT (round-5): the double buffer hides link LATENCY,
+        # not BANDWIDTH — at the round-4 capture's 29 MB/s the f32
+        # payload alone was ~90 ms/batch of un-hideable link time.  The
+        # host narrows points/features to f16 and multi-hot gt_rels to
+        # uint8 (data/wire.py, ~2.3x fewer bytes); the fused program
+        # widens back to f32 on device (decode_wire in _make_pack).
+        # Assembly still reads the UNTOUCHED host batch.  Bit-exact mode:
+        # VLSAT_WIRE_DTYPE=float32.
         from vlsat_tpu.data.pipeline import Prefetcher
+        from vlsat_tpu.data.wire import encode_wire
 
         def _h2d_pairs(it):
             for item in it:
@@ -512,7 +529,7 @@ def evaluate(
                     yield item
                 elif isinstance(jax.tree_util.tree_leaves(item)[0],
                                 np.ndarray):
-                    yield item, jax.device_put(item)
+                    yield item, jax.device_put(encode_wire(item))
                 else:
                     yield item, item
 

@@ -211,9 +211,17 @@ def pad_batch_scenes(batch: SceneBatch, total: int) -> SceneBatch:
     )
 
 
-def collate(scenes: Sequence[dict], with_text: bool = False) -> SceneBatch:
-    """Stack per-scene padded dicts (all same bucket) into a SceneBatch."""
-    stack = lambda k: jnp.asarray(np.stack([s[k] for s in scenes]))
+def collate(scenes: Sequence[dict], with_text: bool = False,
+            device: bool = True) -> SceneBatch:
+    """Stack per-scene padded dicts (all same bucket) into a SceneBatch.
+
+    ``device=False`` keeps the leaves as host NumPy arrays — callers that
+    narrow the wire format before the transfer (serving's encode_wire)
+    need the batch on the host; jit moves it at dispatch."""
+    if device:
+        stack = lambda k: jnp.asarray(np.stack([s[k] for s in scenes]))
+    else:
+        stack = lambda k: np.stack([s[k] for s in scenes])
     rel_text = None
     if with_text and "rel_text_feat" in scenes[0]:
         rel_text = stack("rel_text_feat")

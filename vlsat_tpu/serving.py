@@ -158,7 +158,13 @@ class BatchedServer:
             while len(padded) < self.max_batch:
                 padded.append({k: np.zeros_like(v)
                                for k, v in padded[0].items()})
-        batch = collate(padded)
+        # wire format (data/wire.py): narrow the ~2.7 MB padded batch to
+        # f16/u8 for the H2D transfer; the jitted eval step widens back to
+        # f32 on device (decode_wire in make_eval_step).  Bit-exact mode:
+        # VLSAT_WIRE_DTYPE=float32.
+        from vlsat_tpu.data.wire import encode_wire
+
+        batch = encode_wire(collate(padded, device=False))
         out = self._eval(self._params, self._batch_stats, batch)
         ol = np.asarray(out[f"obj_logits_{self.branch_key}"])
         rc = np.asarray(out[f"rel_cls_{self.branch_key}"])

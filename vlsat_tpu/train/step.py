@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from vlsat_tpu.data.wire import decode_wire
 from vlsat_tpu.models.mmgnet import MMGNet
 from vlsat_tpu.scene import SceneBatch
 from vlsat_tpu.train.losses import vlsat_total_loss
@@ -49,6 +50,7 @@ def _raw_train_step(model: MMGNet, optimizer: optax.GradientTransformation,
         return loss, (aux, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch: SceneBatch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        batch = decode_wire(batch)  # f16/u8 wire batches -> f32 (identity on f32)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng
@@ -210,9 +212,11 @@ def make_eval_step(model: MMGNet, branch_3d_only: bool = False):
 
     @jax.jit
     def eval_step(params, batch_stats, batch: SceneBatch) -> Dict[str, jnp.ndarray]:
+        # wire-format batches (serving ingest, streaming loaders) decode
+        # to f32 here, inside the jit; f32 batches trace the identity
         return model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch,
-            istrain=False, **kwargs
+            {"params": params, "batch_stats": batch_stats},
+            decode_wire(batch), istrain=False, **kwargs
         )
 
     return eval_step
