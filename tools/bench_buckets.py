@@ -118,10 +118,25 @@ def main():
         float(np.asarray(fn(n)))
         return time.perf_counter() - t0
 
-    def slope(fn, n_lo, n_hi, reps):
-        return float(np.median(
-            [(timed(fn, n_hi) - timed(fn, n_lo)) / (n_hi - n_lo)
-             for _ in range(reps)]))
+    # Round-4 postmortem (VERDICT): bucket-12 eval B=4 recorded MFU 0.703,
+    # 3.7x out of family — the fixed (4, 20) trip counts leave the slope
+    # numerator t(20)-t(4) in the sub-ms range for small shapes, where
+    # host timer + dispatch jitter dominates.  Two fixes here:
+    #   * ADAPTIVE trip counts: widen n_hi until the expected delta is
+    #     >= min_delta_s (50 ms) so the numerator is far above noise;
+    #   * report the slope's own spread (IQR of the per-rep slopes) so a
+    #     noisy cell is visible in the row, not just wrong.
+    def slope(fn, n_lo, n_hi, reps, min_delta_s=0.05, max_n=512):
+        # estimate per-iteration time from one coarse pair, then widen
+        per0 = max((timed(fn, n_hi) - timed(fn, n_lo)) / (n_hi - n_lo),
+                   1e-7)
+        need = int(min_delta_s / per0) + n_lo
+        n_hi = min(max(n_hi, need), max_n)
+        vals = [(timed(fn, n_hi) - timed(fn, n_lo)) / (n_hi - n_lo)
+                for _ in range(reps)]
+        med = float(np.median(vals))
+        iqr = float(np.subtract(*np.percentile(vals, [75, 25])))
+        return med, iqr, n_hi
 
     def scene_counts(bucket, b):
         # realistic occupancy: scenes fill 75-100% of their bucket
@@ -136,46 +151,106 @@ def main():
         s = str(err)
         return any(k in s for k in oom_kinds)
 
+    def measure_eval(bucket, b):
+        row = {"bucket": bucket, "batch": b,
+               "edges": bucket * (bucket - 1)}
+        try:
+            batch = make_batch(seed=0, node_counts=scene_counts(bucket, b),
+                               num_points=128, bucket=bucket)
+            ev = lambda n: eval_many(params, batch_stats, batch, n)
+            per, iqr, n_hi = slope(ev, 4, 20, args.reps)
+            fl = scan_flops(eval_many, params, batch_stats, batch,
+                            static={"n": 4})
+            # DCE audit (round-3 rule, applied per cell): the scanned
+            # body's per-iteration FLOPs must match a standalone compile
+            # of the same pack — a mismatch means XLA elided work inside
+            # the scan and the slope measures a lighter program than the
+            # engine dispatches
+            fl_alone = scan_flops(jax.jit(pack), params, batch_stats, batch)
+            row.update(eval_ms=round(per * 1e3, 3),
+                       eval_ms_iqr=round(iqr * 1e3, 3),
+                       eval_slope_n_hi=n_hi,
+                       eval_scenes_per_sec=round(b / per, 1),
+                       eval_gflops=round(fl / 1e9, 1),
+                       eval_gflops_standalone=round(fl_alone / 1e9, 1),
+                       eval_mfu=round(fl / per / peak, 4))
+            if fl_alone and abs(fl / fl_alone - 1.0) > 0.1:
+                row["eval_dce_suspect"] = round(fl / fl_alone, 3)
+        except Exception as e:  # noqa: BLE001 — report OOMs per cell
+            row["eval_error"] = "oom" if is_oom(e) else str(e)[:200]
+        return row
+
+    def measure_train(bucket, b):
+        row = {"bucket": bucket, "batch": b, "mode": "train",
+               "edges": bucket * (bucket - 1)}
+        try:
+            batch = make_batch(seed=3, node_counts=scene_counts(bucket, b),
+                               num_points=128, bucket=bucket,
+                               with_text=True)
+            state = create_train_state(model, tiny, opt, seed=0)
+            tr = lambda n: train_many(state, batch, n)
+            per, iqr, n_hi = slope(tr, 4, 16, args.reps)
+            fl = scan_flops(train_many, state, batch, static={"n": 4})
+            one_step = jax.jit(lambda st, bt: raw_step(
+                st, bt, jax.random.PRNGKey(0))[1]["loss"])
+            fl_alone = scan_flops(one_step, state, batch)
+            row.update(train_ms=round(per * 1e3, 3),
+                       train_ms_iqr=round(iqr * 1e3, 3),
+                       train_slope_n_hi=n_hi,
+                       train_scenes_per_sec=round(b / per, 1),
+                       train_gflops=round(fl / 1e9, 1),
+                       train_gflops_standalone=round(fl_alone / 1e9, 1),
+                       train_mfu=round(fl / per / peak, 4))
+            if fl_alone and abs(fl / fl_alone - 1.0) > 0.1:
+                row["train_dce_suspect"] = round(fl / fl_alone, 3)
+        except Exception as e:  # noqa: BLE001
+            row["train_error"] = "oom" if is_oom(e) else str(e)[:200]
+        return row
+
     for bucket in args.buckets:
         for b in sorted(set(args.batch_sizes)):
-            row = {"bucket": bucket, "batch": b,
-                   "edges": bucket * (bucket - 1)}
-            try:
-                batch = make_batch(seed=0, node_counts=scene_counts(bucket, b),
-                                   num_points=128, bucket=bucket)
-                ev = lambda n: eval_many(params, batch_stats, batch, n)
-                per = slope(ev, 4, 20, args.reps)
-                fl = scan_flops(eval_many, params, batch_stats, batch,
-                                static={"n": 4})
-                row.update(eval_ms=round(per * 1e3, 3),
-                           eval_scenes_per_sec=round(b / per, 1),
-                           eval_gflops=round(fl / 1e9, 1),
-                           eval_mfu=round(fl / per / peak, 4))
-            except Exception as e:  # noqa: BLE001 — report OOMs per cell
-                row["eval_error"] = "oom" if is_oom(e) else str(e)[:200]
-            rows.append(dict(row))
+            rows.append(measure_eval(bucket, b))
             print(json.dumps(rows[-1]), flush=True)
-
         tbs = args.train_batch_sizes or args.batch_sizes
         for b in sorted(set(tbs)):
-            row = {"bucket": bucket, "batch": b, "mode": "train",
-                   "edges": bucket * (bucket - 1)}
-            try:
-                batch = make_batch(seed=3, node_counts=scene_counts(bucket, b),
-                                   num_points=128, bucket=bucket,
-                                   with_text=True)
-                state = create_train_state(model, tiny, opt, seed=0)
-                tr = lambda n: train_many(state, batch, n)
-                per = slope(tr, 4, 16, args.reps)
-                fl = scan_flops(train_many, state, batch, static={"n": 4})
-                row.update(train_ms=round(per * 1e3, 3),
-                           train_scenes_per_sec=round(b / per, 1),
-                           train_gflops=round(fl / 1e9, 1),
-                           train_mfu=round(fl / per / peak, 4))
-            except Exception as e:  # noqa: BLE001
-                row["train_error"] = "oom" if is_oom(e) else str(e)[:200]
-            rows.append(dict(row))
+            rows.append(measure_train(bucket, b))
             print(json.dumps(rows[-1]), flush=True)
+
+    # ---- outlier lint (round-5, VERDICT task 3): a cell whose MFU is
+    # > 2x out of family — family = the other same-mode cells of the SAME
+    # bucket (MFU varies smoothly in batch, sharply in bucket) — is
+    # re-measured once; if the value persists it is kept but ANNOTATED, so
+    # no table ships an unexplained out-of-family cell (the round-4 table
+    # carried bucket-12/B=4 eval MFU 0.703 vs neighbors 0.19 unmarked).
+    def lint(rows):
+        flagged = []
+        for mode, key in (("eval", "eval_mfu"), ("train", "train_mfu")):
+            cells = [r for r in rows if key in r]
+            for r in cells:
+                family = [c[key] for c in cells
+                          if c["bucket"] == r["bucket"] and c is not r]
+                if not family:
+                    continue
+                med = float(np.median(family))
+                if med > 0 and (r[key] > 2 * med or r[key] < med / 2):
+                    flagged.append((r, mode, key, med))
+        return flagged
+
+    for r, mode, key, med in lint(rows):
+        fresh = (measure_eval if mode == "eval" else measure_train)(
+            r["bucket"], r["batch"])
+        if key in fresh and med > 0 and (fresh[key] > 2 * med
+                                         or fresh[key] < med / 2):
+            fresh[f"{mode}_outlier"] = (
+                f"mfu {fresh[key]} is >2x out of family "
+                f"(bucket-{r['bucket']} median {round(med, 4)}); persists "
+                f"after re-measure (first pass: {r[key]})")
+        else:
+            fresh[f"{mode}_remeasured"] = (
+                f"first pass {r[key]} was >2x out of family "
+                f"(median {round(med, 4)}); re-measure agrees with family")
+        rows[rows.index(r)] = fresh
+        print("LINT " + json.dumps(fresh), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:

@@ -45,6 +45,17 @@ def main():
     ap.add_argument("--artifact", type=str, default=None,
                     help="serve from a saved AOT artifact instead of the "
                          "live model (serving_export.py)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep offered load (closed-loop clients 1..128) "
+                         "and report the scenes/s vs p50/p99 curve, the "
+                         "knee, and the deadline-bounded operating point")
+    ap.add_argument("--sweep-clients", type=int, nargs="+",
+                    default=[1, 2, 4, 8, 16, 32, 64, 128])
+    ap.add_argument("--deadline-p99-ms", type=float, default=150.0,
+                    help="p99 budget that defines the deadline-bounded "
+                         "operating point reported by --sweep")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the result JSON to this path")
     ap.add_argument("--platform", type=str, default=None,
                     help="force a jax platform (e.g. cpu for smoke tests; "
                          "this environment's sitecustomize overrides the "
@@ -133,8 +144,43 @@ def main():
         # minutes on a loaded host — far past predict()'s default 60 s
         server.predict(scenes[0], timeout=1800)   # 9 nodes  -> bucket 12
         server.predict(scenes[6], timeout=1800)   # 16 nodes -> bucket 16
-        res = bench_server(server, scenes, duration_s=args.duration,
-                           clients=args.clients)
+        if args.sweep:
+            # latency-vs-offered-load curve (VERDICT round-5 task 5): the
+            # single 64-client number is a saturation point whose p50 is
+            # queueing delay, not service time.  Closed-loop client count
+            # IS the offered load here; the knee is the last point whose
+            # marginal throughput per added client is still >= 25% of the
+            # first point's per-client throughput (past it, added load
+            # only adds queueing).
+            curve = []
+            for c in sorted(set(args.sweep_clients)):
+                r = bench_server(server, scenes, duration_s=args.duration,
+                                 clients=c)
+                row = {"clients": c,
+                       "scenes_per_sec": round(r["scenes_per_sec"], 1),
+                       "p50_latency_ms": round(r["p50_latency_ms"], 1),
+                       "p99_latency_ms": round(r["p99_latency_ms"], 1),
+                       "mean_batch": round(r["mean_batch_size"], 2)}
+                curve.append(row)
+                print(json.dumps(row), flush=True)
+            per1 = curve[0]["scenes_per_sec"] / curve[0]["clients"]
+            knee = curve[0]
+            for prev, cur in zip(curve, curve[1:]):
+                gain = (cur["scenes_per_sec"] - prev["scenes_per_sec"]) / \
+                    (cur["clients"] - prev["clients"])
+                if gain < 0.25 * per1:
+                    break
+                knee = cur
+            within = [r for r in curve
+                      if r["p99_latency_ms"] <= args.deadline_p99_ms]
+            op = max(within, key=lambda r: r["scenes_per_sec"]) \
+                if within else None
+            res = {"curve": curve, "knee": knee,
+                   "deadline_p99_ms": args.deadline_p99_ms,
+                   "deadline_operating_point": op}
+        else:
+            res = bench_server(server, scenes, duration_s=args.duration,
+                               clients=args.clients)
     out = {"batched": res}
 
     if args.http:
@@ -222,6 +268,9 @@ def main():
             "scenes_per_sec": k / (time.perf_counter() - t0)}
 
     print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,10 @@ DEFAULT_CONFIG = {
     # PERFORMANCE.md round 3).
     "EVAL_GROUP": 4,
     "RESIDENT_HBM_BUDGET": 2 << 30,
+    # int = one batch size everywhere (1 mirrors the reference protocol,
+    # model.py:186 — metrics are batch-size independent either way);
+    # "auto" = the measured per-bucket throughput-best table
+    # (data/bucket_batch.py DEFAULT_EVAL_BATCH, from tools/bench_buckets)
     "EVAL_BATCH_SIZE": 1,
     "EVAL": False,
     "VERBOSE": False,

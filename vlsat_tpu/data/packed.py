@@ -304,9 +304,12 @@ class PackedLoader:
     as the SceneLoader's bucketing does); sequential epochs emit contiguous
     slices (pure mmap reads, no copy beyond the device transfer).  Each
     epoch advances the pack variant cyclically when more than one draw was
-    packed."""
+    packed.
 
-    def __init__(self, packed: PackedScenes, batch_size: int,
+    ``batch_size`` is an int or a {bucket: B} mapping (per-bucket
+    throughput-best sizes, data/bucket_batch.py)."""
+
+    def __init__(self, packed: PackedScenes, batch_size,
                  shuffle: bool = False, seed: int = 2020,
                  drop_last: bool = False):
         self.packed = packed
@@ -315,6 +318,11 @@ class PackedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.epoch = 0
+
+    def _bs(self, bucket: int) -> int:
+        from vlsat_tpu.data.bucket_batch import resolve_batch
+
+        return resolve_batch(self.batch_size, bucket)
 
     @property
     def max_gt(self) -> int:
@@ -325,8 +333,8 @@ class PackedLoader:
         n = 0
         for b in self.packed.buckets:
             c = self.packed.count(b)
-            n += c // self.batch_size if self.drop_last \
-                else -(-c // self.batch_size)
+            bs = self._bs(b)
+            n += c // bs if self.drop_last else -(-c // bs)
         return n
 
     def __iter__(self) -> Iterator[SceneBatch]:
@@ -334,10 +342,11 @@ class PackedLoader:
         variant = self.epoch % self.packed.variants
         for b in self.packed.buckets:
             c = self.packed.count(b)
+            bs = self._bs(b)
             order = rng.permutation(c) if self.shuffle else None
-            for start in range(0, c, self.batch_size):
-                stop = min(start + self.batch_size, c)
-                if self.drop_last and stop - start < self.batch_size:
+            for start in range(0, c, bs):
+                stop = min(start + bs, c)
+                if self.drop_last and stop - start < bs:
                     break
                 idx = (order[start:stop] if order is not None
                        else slice(start, stop))

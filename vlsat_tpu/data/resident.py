@@ -91,11 +91,20 @@ class ResidentEvalLoader:
     Iteration order matches ``PackedLoader(shuffle=False)`` exactly:
     buckets ascending, contiguous slices, trailing partial batch kept
     (eval covers every scene; each distinct tail size compiles once).
+
+    ``batch_size`` is an int or a {bucket: B} mapping
+    (data/bucket_batch.py) — eval metrics are batch-size independent, so
+    per-bucket throughput-best sizes are free.
     """
 
-    def __init__(self, resident: ResidentScenes, batch_size: int):
+    def __init__(self, resident: ResidentScenes, batch_size):
         self.resident = resident
         self.batch_size = batch_size
+
+    def _bs(self, bucket: int) -> int:
+        from vlsat_tpu.data.bucket_batch import resolve_batch
+
+        return resolve_batch(self.batch_size, bucket)
 
     @property
     def max_gt(self) -> int:
@@ -103,8 +112,7 @@ class ResidentEvalLoader:
         return self.resident.packed.max_gt
 
     def __len__(self) -> int:
-        bs = self.batch_size
-        return sum(-(-self.resident.count(b) // bs)
+        return sum(-(-self.resident.count(b) // self._bs(b))
                    for b in self.resident.buckets)
 
     def __iter__(self):
@@ -115,9 +123,10 @@ class ResidentEvalLoader:
             lambda a: jnp.take(a, idx, axis=0), full))
         for b in self.resident.buckets:
             c = self.resident.count(b)
+            bs = self._bs(b)
             full = self.resident.full_batch(b)
-            for start in range(0, c, self.batch_size):
-                stop = min(start + self.batch_size, c)
+            for start in range(0, c, bs):
+                stop = min(start + bs, c)
                 host = self.resident.host_batch(b, slice(start, stop))
                 dev = gather(full, jnp.arange(start, stop, dtype=jnp.int32))
                 yield host, dev
@@ -146,12 +155,13 @@ class ResidentGroupedEval:
     metrics match the per-batch loaders exactly (tests/test_resident.py).
 
     Batch boundaries and iteration order are identical to
-    :class:`ResidentEvalLoader` at the same ``batch_size``.
+    :class:`ResidentEvalLoader` at the same ``batch_size`` (which is an
+    int or a per-bucket {bucket: B} mapping, data/bucket_batch.py).
     """
 
     grouped = True
 
-    def __init__(self, resident: ResidentScenes, batch_size: int,
+    def __init__(self, resident: ResidentScenes, batch_size,
                  group: int = 8):
         if group < 1:
             raise ValueError(f"group must be >= 1, got {group}")
@@ -159,22 +169,27 @@ class ResidentGroupedEval:
         self.batch_size = batch_size
         self.group = int(group)
 
+    def _bs(self, bucket: int) -> int:
+        from vlsat_tpu.data.bucket_batch import resolve_batch
+
+        return resolve_batch(self.batch_size, bucket)
+
     @property
     def max_gt(self) -> int:
         """Eval-engine GT-slot cap (see PackedScenes.max_gt)."""
         return self.resident.packed.max_gt
 
     def __len__(self) -> int:
-        bs = self.batch_size
-        return sum(-(-self.resident.count(b) // bs)
+        return sum(-(-self.resident.count(b) // self._bs(b))
                    for b in self.resident.buckets)
 
     def __iter__(self):
         from vlsat_tpu.scene import pad_batch_scenes
 
-        bs, k = self.batch_size, self.group
+        k = self.group
         for b in self.resident.buckets:
             c = self.resident.count(b)
+            bs = self._bs(b)
             full = self.resident.full_batch(b)
             starts = list(range(0, c, bs))
             for g0 in range(0, len(starts), k):
@@ -214,24 +229,31 @@ class ResidentShardedEval:
 
     mesh_sharded = True  # runner/val paths skip shard_eval_batches
 
-    def __init__(self, packed: PackedScenes, mesh, batch_size: int,
+    def __init__(self, packed: PackedScenes, mesh, batch_size,
                  axis: str = "data", variant: int = 0, group: int = 1):
         """``group`` > 1 scans K batches per dispatch (one output fetch
         per group, like ResidentGroupedEval): items become (hosts,
         stacked split, (K,) int32 batch ids) and each scan step takes a
         shard-local batch slice, so the grouped dispatch stays
         data-parallel with no cross-device gathers.  Tail groups repeat
-        the last batch id; repeats are never assembled."""
+        the last batch id; repeats are never assembled.
+
+        ``batch_size`` is an int or a per-bucket {bucket: B} mapping
+        (data/bucket_batch.py); every resolved size must divide over the
+        mesh axis."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from vlsat_tpu.data.bucket_batch import resolve_batch
         from vlsat_tpu.scene import pad_batch_scenes
 
         n_dev = mesh.shape[axis]
-        if batch_size % n_dev:
-            raise ValueError(
-                f"batch_size {batch_size} does not divide over {n_dev} "
-                f"devices on mesh axis {axis!r}")
+        for b in packed.buckets:
+            if resolve_batch(batch_size, b) % n_dev:
+                raise ValueError(
+                    f"batch_size {resolve_batch(batch_size, b)} (bucket "
+                    f"{b}) does not divide over {n_dev} devices on mesh "
+                    f"axis {axis!r}")
         if group < 1:
             raise ValueError(f"group must be >= 1, got {group}")
         self.packed = packed
@@ -246,11 +268,12 @@ class ResidentShardedEval:
         self._stacks: Dict[int, SceneBatch] = {}
         for b in packed.buckets:
             c = packed.count(b)
+            bs = resolve_batch(batch_size, b)
             hosts = []
-            for start in range(0, c, batch_size):
+            for start in range(0, c, bs):
                 hb = packed.batch(
-                    b, slice(start, min(start + batch_size, c)), variant)
-                hosts.append(pad_batch_scenes(hb, batch_size))
+                    b, slice(start, min(start + bs, c)), variant)
+                hosts.append(pad_batch_scenes(hb, bs))
             self._hosts[b] = hosts
             stacked = jax.tree_util.tree_map(
                 lambda *xs: np.stack(xs), *hosts)

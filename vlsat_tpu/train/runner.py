@@ -10,6 +10,7 @@ artifact dumps.
 from __future__ import annotations
 
 import os
+import time
 from typing import Optional
 
 import jax
@@ -214,7 +215,19 @@ class Runner:
             cache[split] = PackedScenes(pack)
         return cache[split]
 
-    def _eval_loader(self, packed, bs: int):
+    def _eval_bs(self):
+        """EVAL_BATCH_SIZE resolved: "auto" -> the measured per-bucket
+        throughput-best table (data/bucket_batch.py DEFAULT_EVAL_BATCH —
+        eval metrics are batch-size independent, so per-bucket sizes are
+        pure throughput), else the configured int."""
+        raw = self.cfg.get("EVAL_BATCH_SIZE", 1)
+        if str(raw).lower() == "auto":
+            from vlsat_tpu.data.bucket_batch import DEFAULT_EVAL_BATCH
+
+            return dict(DEFAULT_EVAL_BATCH)
+        return int(raw)
+
+    def _eval_loader(self, packed, bs):
         """Validation loader over a packed split.
 
         Pins the split in HBM and gathers eval batches by index on device
@@ -237,8 +250,11 @@ class Runner:
             on = split_nbytes(packed) <= int(
                 self.cfg.get("RESIDENT_HBM_BUDGET", 2 << 30))
         if on and self.mesh is not None:
+            from vlsat_tpu.data.bucket_batch import resolve_batch
+
             n_dev = self.mesh.shape.get("data", 1)
-            if bs % n_dev == 0:
+            if all(resolve_batch(bs, b) % n_dev == 0
+                   for b in packed.buckets):
                 from vlsat_tpu.data.resident import ResidentShardedEval
 
                 group = int(self.cfg.get("EVAL_GROUP", 4))
@@ -285,11 +301,13 @@ class Runner:
             )
         def val_loader():
             vp = self._packed("validation")
+            ebs = self._eval_bs()
             if vp is not None:
-                vl = self._eval_loader(vp, int(cfg.get("EVAL_BATCH_SIZE", 1)))
+                vl = self._eval_loader(vp, ebs)
             else:
                 vl = SceneLoader(
-                    self.valid_scenes, batch_size=int(cfg.get("EVAL_BATCH_SIZE", 1)),
+                    self.valid_scenes,
+                    batch_size=ebs if isinstance(ebs, int) else 1,
                     shuffle=False, buckets=cfg.dataset.node_buckets)
             if self.mesh is not None and not getattr(vl, "mesh_sharded", False):
                 # same data-parallel eval path as validation(): pad ragged
@@ -379,6 +397,7 @@ class Runner:
 
         for epoch in range(start_epoch, cfg.MAX_EPOCHES + 1):
             print(f"\nTraining epoch: {epoch}")
+            epoch_t0, epoch_scenes = time.perf_counter(), 0
             progbar = Progbar(len(loader), width=20,
                               stateful_metrics=["Misc/epo", "Misc/it"])
             if resident_fn is not None:
@@ -428,6 +447,8 @@ class Runner:
                         if np.ndim(v) == 0]
                 logs += [("Misc/epo", epoch), ("Misc/it", it)]
                 progbar.add(k, values=logs)
+                epoch_scenes += (len(item[1]) if resident_fn is not None
+                                 else k * int(cfg.Batch_Size))
                 if cfg.LOG_INTERVAL and (it % cfg.LOG_INTERVAL) < k:
                     self.logger.log(logs, it)
                 if it >= self.max_iteration:
@@ -439,8 +460,10 @@ class Runner:
             if (epoch % max(ck_int, 1) == 0 or int(self.state.step) >= self.max_iteration
                     or epoch == int(cfg.MAX_EPOCHES)):
                 self.ckpt.save(self.state, eva_res if eva_res >= 0 else None)
+            validated = None
             if cfg.VALID_INTERVAL > 0 and epoch % cfg.VALID_INTERVAL == 0:
                 print("\nstart validation...")
+                val_t0 = time.perf_counter()
                 metrics = evaluate(
                     eval_fn, self.state.params, self.state.batch_stats,
                     val_loader(), num_rel_classes=self.num_rel,
@@ -449,10 +472,48 @@ class Runner:
                     multi_rel=self.cfg.MODEL.multi_rel_outputs,
                 )
                 eva_res = metrics["mean_recall_50"]
+                validated = {"mean_recall_50": round(float(eva_res), 5),
+                             "val_wall_s": round(
+                                 time.perf_counter() - val_t0, 2)}
                 self.logger.log(list(metrics.items()), int(self.state.step))
                 self.ckpt.save(self.state, eva_res)
+            self._write_epoch_stats(epoch, epoch_t0, epoch_scenes, validated)
             if int(self.state.step) >= self.max_iteration:
                 break
+
+    def _write_epoch_stats(self, epoch: int, epoch_t0: float,
+                           scenes: int, validated) -> None:
+        """Append one epoch's telemetry to <exp_dir>/epoch_stats.jsonl:
+        wall time, train scenes/s, peak host RSS, device HBM in use —
+        the per-epoch record a long soak (tools/soak.py, SOAK_r05.json)
+        and any production babysitter reads.  Telemetry must never kill
+        the run: failures degrade to missing fields."""
+        import json as _json
+        import resource
+
+        wall = time.perf_counter() - epoch_t0
+        row = {"epoch": epoch, "step": int(self.state.step),
+               "scenes": int(scenes), "wall_s": round(wall, 2),
+               "scenes_per_sec": round(scenes / max(wall, 1e-9), 1),
+               "peak_rss_mb": round(resource.getrusage(
+                   resource.RUSAGE_SELF).ru_maxrss / 1024, 1)}
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            if ms:
+                row["hbm_in_use_mb"] = round(
+                    ms.get("bytes_in_use", 0) / 1e6, 1)
+                row["hbm_peak_mb"] = round(
+                    ms.get("peak_bytes_in_use", 0) / 1e6, 1)
+        except Exception:
+            pass
+        if validated:
+            row.update(validated)
+        try:
+            with open(os.path.join(self.exp_dir, "epoch_stats.jsonl"),
+                      "a") as f:
+                f.write(_json.dumps(row) + "\n")
+        except OSError:
+            pass
 
     # ------------------------------------------------------------------ serve
     def serve(self, host: str = "127.0.0.1", port: int = 8764,
@@ -492,12 +553,14 @@ class Runner:
         b3d = bool(self.cfg.get("EVAL_3D_ONLY", False)) and isinstance(
             self.model, _MMGNet)
         eval_fn = make_eval_step(self.model, branch_3d_only=b3d)
-        bs = batch_size or int(self.cfg.get("EVAL_BATCH_SIZE", 1))
+        bs = batch_size or self._eval_bs()
         packed = self._packed("validation")
         if packed is not None:
             loader = self._eval_loader(packed, bs)
         else:
-            loader = SceneLoader(self.valid_scenes, batch_size=bs, shuffle=False,
+            loader = SceneLoader(self.valid_scenes,
+                                 batch_size=bs if isinstance(bs, int) else 1,
+                                 shuffle=False,
                                  buckets=self.cfg.dataset.node_buckets)
         if self.mesh is not None and not getattr(loader, "mesh_sharded", False):
             # data-parallel eval: pad ragged batches with masked scenes
