@@ -521,19 +521,29 @@ def main():
         packed_mix = PackedScenes(pack_mix_dir)
 
     resident_mix = ResidentScenes(packed_mix)
-    grouped_mix = ResidentGroupedEval(resident_mix, 32, group=4)
+    # per-bucket throughput-best batch sizes (round-5, data/bucket_batch):
+    # the band measures the SHIPPED production configuration
+    # (EVAL_BATCH_SIZE="auto"), not a fixed B=32
+    from vlsat_tpu.data.bucket_batch import DEFAULT_EVAL_BATCH, resolve_batch
+
+    mix_bs = {b: resolve_batch(DEFAULT_EVAL_BATCH, b)
+              for b in packed_mix.buckets}
+    grouped_mix = ResidentGroupedEval(resident_mix, mix_bs, group=4)
     e2e_pass(grouped_mix, len(packed_mix))  # warm (one program per bucket)
     link_mix = probe_link()
     eval_mix, eval_mix_iqr, eval_mix_best = band(
         lambda: e2e_pass(grouped_mix, len(packed_mix)))
     # same pipeline structure as the single-bucket resident grouped band:
     # one serialized round trip per K=4 group, H2D = index payloads only
-    mix_batches = {b: -(-packed_mix.count(b) // 32)
+    mix_batches = {b: -(-packed_mix.count(b) // mix_bs[b])
                    for b in packed_mix.buckets}
     mix_groups = sum(-(-nb // 4) for nb in mix_batches.values())
     models["eval_e2e_bucketmix_scenes_per_sec"] = link_cost_model(
         len(packed_mix), eval_mix, link_mix, n_rtt=mix_groups,
-        h2d_bytes=mix_groups * 4 * 32 * 4, rate_best=eval_mix_best)
+        h2d_bytes=sum(-(-nb // 4) * 4 * mix_bs[b] * 4
+                      for b, nb in mix_batches.items()),
+        rate_best=eval_mix_best)
+    models["eval_e2e_bucketmix_scenes_per_sec"]["batch_sizes"] = mix_bs
 
     # ---- BUCKET-MIX MFU (round-5): FLOP-weighted over the real shape
     # histogram.  The headline eval_mfu lives at the bucket-16 demo shape;
@@ -552,8 +562,9 @@ def main():
         scene_recall=False, gt_cap=packed_mix.max_gt))
     mix_eval_flops = 0.0
     for b in packed_mix.buckets:
+        bs = mix_bs[b]
         ex = pad_batch_scenes(
-            packed_mix.batch(b, slice(0, min(32, packed_mix.count(b)))), 32)
+            packed_mix.batch(b, slice(0, min(bs, packed_mix.count(b)))), bs)
         fl = compiled_flops(pack_fn, params, batch_stats, ex)
         mix_eval_flops += fl * mix_batches[b]
     eval_mix_mfu = (mix_eval_flops * eval_mix / len(packed_mix) / peak

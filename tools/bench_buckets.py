@@ -191,8 +191,12 @@ def main():
             tr = lambda n: train_many(state, batch, n)
             per, iqr, n_hi = slope(tr, 4, 16, args.reps)
             fl = scan_flops(train_many, state, batch, static={"n": 4})
+            # standalone comparator must RETURN the full new state: a
+            # loss-only return lets XLA DCE the optimizer update (and
+            # most of the backward), making the audit compare the scan
+            # against a lighter program than the runner dispatches
             one_step = jax.jit(lambda st, bt: raw_step(
-                st, bt, jax.random.PRNGKey(0))[1]["loss"])
+                st, bt, jax.random.PRNGKey(0)))
             fl_alone = scan_flops(one_step, state, batch)
             row.update(train_ms=round(per * 1e3, 3),
                        train_ms_iqr=round(iqr * 1e3, 3),
