@@ -31,18 +31,21 @@ from typing import Mapping, Union
 BatchSpec = Union[int, Mapping[int, int]]
 
 # throughput-best EVAL batch per bucket, measured on TPU v5e
-# (BUCKET_TABLE_r05.json; bucket-12's round-4 B=4 cell was a timing
-# artifact removed by the adaptive-slope re-measure).  Unlisted buckets
+# (BUCKET_TABLE_r05.json — the re-audited table: adaptive slope trip
+# counts, per-cell DCE audit, outlier lint; bucket-12's round-4 B=4
+# "winner" was a sub-ms-slope timing artifact).  Near-ties (bucket-8
+# B=32 vs B=64 within 0.3%) pick the smaller batch.  Unlisted buckets
 # resolve to the nearest larger bucket's value (smaller batches are the
-# safe direction for memory as shapes grow).
+# safe direction for memory as shapes grow).  All values divide over an
+# 8-device mesh (ResidentShardedEval's constraint).
 DEFAULT_EVAL_BATCH: Mapping[int, int] = {
-    8: 64,
-    12: 8,
-    16: 32,
+    8: 32,
+    12: 32,
+    16: 8,
     24: 32,
     32: 8,
-    48: 8,
-    64: 8,
+    48: 64,
+    64: 16,
 }
 
 

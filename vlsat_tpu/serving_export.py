@@ -174,14 +174,17 @@ class ExportedEvalStep:
             raise ValueError(
                 f"artifact expects ({m['num_points']}, {m['point_dim']}) "
                 f"points/channels, got {tuple(batch.obj_points.shape[2:])}")
-        out = mod(
-            np.asarray(batch.obj_points, np.float32),
-            np.asarray(batch.obj_mask, bool),
-            np.asarray(batch.descriptor, np.float32),
-            np.asarray(batch.obj_2d_feats, np.float32),
-            np.asarray(batch.edge_index, np.int32),
-            np.asarray(batch.edge_mask, bool),
-        )
+        # hand the leaves to the jitted wrapper AS THEY ARE — host f16/u8
+        # wire batches (serving ingest, data/wire.py) ship their narrow
+        # payload and widen ON DEVICE inside the wrapper, and device-array
+        # callers (eval engine parity paths) dispatch directly.  The
+        # previous np.asarray(..., f32) coercions here fetched device
+        # arrays D2H (a full round trip per dispatch, re-uploaded right
+        # after) and widened wire batches on the single host core — the
+        # round-4 "AOT 2x under-load deficit" was largely this call-path
+        # conversion work serializing with the client threads.
+        out = mod(batch.obj_points, batch.obj_mask, batch.descriptor,
+                  batch.obj_2d_feats, batch.edge_index, batch.edge_mask)
         return dict(out)
 
 
@@ -196,14 +199,31 @@ def load_serving_artifact(path: str) -> ExportedEvalStep:
             f"(loader supports {_FORMAT_VERSION})")
     import jax
 
+    import jax.numpy as jnp
+
+    def make_entry(exp):
+        # jit the exported call ONCE per bucket: Exported.call rebuilds
+        # its call graph on every invocation, which measured ~4x slower
+        # than the live jitted server under load (PERFORMANCE.md round-4
+        # serving table); a stable jitted callable hits jax's C++
+        # dispatch fast path on every repeat dispatch.  The wrapper casts
+        # INSIDE the jit so f16/u8 wire-format inputs (data/wire.py) ship
+        # their narrow H2D payload and widen on device — for f32 callers
+        # the casts trace to the identity.  Distinct input dtype combos
+        # (f16 wire vs f32) compile once each.
+        call = exp.call
+
+        @jax.jit
+        def entry(op, om, de, o2, ei, em):
+            return call(op.astype(jnp.float32), om.astype(jnp.bool_),
+                        de.astype(jnp.float32), o2.astype(jnp.float32),
+                        ei.astype(jnp.int32), em.astype(jnp.bool_))
+
+        return entry
+
     modules = {}
     for bucket, entry in manifest["buckets"].items():
         with open(os.path.join(path, entry["file"]), "rb") as f:
             exp = jexport.deserialize(bytearray(f.read()))
-        # jit the exported call ONCE per bucket: Exported.call rebuilds its
-        # call graph on every invocation, which measured ~4x slower than the
-        # live jitted server under load (PERFORMANCE.md round-4 serving
-        # table); a stable jitted callable hits jax's C++ dispatch fast path
-        # on every repeat dispatch.
-        modules[int(bucket)] = jax.jit(exp.call)
+        modules[int(bucket)] = make_entry(exp)
     return ExportedEvalStep(manifest, modules, path)
