@@ -63,6 +63,10 @@ DEFAULT_CONFIG = {
     # "auto" = the measured per-bucket throughput-best table
     # (data/bucket_batch.py DEFAULT_EVAL_BATCH, from tools/bench_buckets)
     "EVAL_BATCH_SIZE": 1,
+    # Persistent XLA compile cache for the CLI entry (vlsat_tpu/main.py):
+    # a resumed/re-launched run re-traces the same bucketed programs, so
+    # warm entries turn restart compiles into disk loads.  "" disables.
+    "COMPILE_CACHE_DIR": "/tmp/vlsat_jax_cache",
     "EVAL": False,
     "VERBOSE": False,
     "exp": "default",

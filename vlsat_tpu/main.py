@@ -49,6 +49,21 @@ def main(argv=None):
     except Exception:
         pass
 
+    # Persistent compilation cache (same recipe as bench.py / tools/serve.py):
+    # a resumed run re-traces the same bucketed programs — warm entries turn
+    # the restart's cold compiles into disk loads.  COMPILE_CACHE_DIR: ""
+    # disables; entries key on HLO so the cache is safe across processes.
+    cache_dir = cfg.get("COMPILE_CACHE_DIR",
+                        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                       "/tmp/vlsat_jax_cache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        except Exception:
+            pass
+
     exp_dir = os.path.join(cfg.PATH, cfg.NAME, args.exp)
     os.makedirs(exp_dir, exist_ok=True)
     with open(os.path.join(exp_dir, "config.json"), "w") as f:
